@@ -1,0 +1,56 @@
+"""Benchmark: coded blocks/s through the FULL train step on one chip.
+
+Baseline (BASELINE.md): the reference trains ~2000 blocks/s (50k blocks in
+~24.5 s/epoch, batch 500, K=100, rate 1/3, 6 decoder iterations) on a 1080Ti
+through the full train step (sample+forward+backward+opt).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_BLOCKS_PER_S = 2000.0
+
+
+def main():
+    import jax
+    from turboae_tpu.config import Config
+    from turboae_tpu.train.trainer import Trainer
+
+    # flagship training config (reference tmp/114255_log.txt run: batch 500, K=100)
+    cfg = Config(batch_size=500, block_len=100, num_block=500,
+                 train_dec_channel_low=-1.5, train_dec_channel_high=2.0)
+    trainer = Trainer(cfg)
+
+    # compile + warm up both phases
+    trainer.train_epoch(0, 'decoder', verbose=False)
+    trainer.train_epoch(0, 'encoder', verbose=False)
+
+    # timed: alternating schedule 1 enc : 5 dec like the reference epoch
+    n_steps = 60
+    step_dec = trainer._step_dec
+    step_enc = trainer._step_enc
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        trainer.key, k = jax.random.split(trainer.key)
+        step = step_enc if i % 6 == 0 else step_dec
+        trainer.params, trainer.opt_state, loss = step(
+            trainer.params, trainer.opt_state, k)
+    jax.block_until_ready(trainer.params)
+    dt = time.perf_counter() - t0
+
+    blocks_per_s = n_steps * cfg.batch_size / dt
+    print(json.dumps({
+        'metric': 'train_blocks_per_s',
+        'value': round(blocks_per_s, 1),
+        'unit': 'blocks/s/chip (rate-1/3, K=100, 6 dec iters, full train step)',
+        'vs_baseline': round(blocks_per_s / BASELINE_BLOCKS_PER_S, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

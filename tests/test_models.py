@@ -1,0 +1,191 @@
+"""Model zoo: shapes, forward sanity, scan-vs-unrolled equivalence, and a
+small end-to-end training smoke (loss decreases) for the flagship."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turboae_tpu.config import Config
+from turboae_tpu.models.channel_ae import forward_ae, init_ae, make_perms
+from turboae_tpu.models.encoders import make_encoder
+from turboae_tpu.models.decoders import make_decoder
+
+SMALL = dict(batch_size=4, block_len=16, enc_num_unit=8, dec_num_unit=8,
+             enc_num_layer=2, dec_num_layer=2, num_iteration=2, num_iter_ft=3)
+
+
+def _roundtrip(cfg):
+    key = jax.random.PRNGKey(0)
+    params = init_ae(key, cfg)
+    perms = make_perms(cfg)
+    bits = jax.random.bernoulli(key, 0.5, (cfg.batch_size, cfg.block_len,
+                                           cfg.code_rate_k)).astype(jnp.float32)
+    noise = 0.1 * jax.random.normal(key, (cfg.batch_size, cfg.block_len,
+                                          cfg.code_rate_n))
+    out, codes, _ = forward_ae(params, cfg, key, bits, noise, perms)
+    return bits, codes, out
+
+
+def test_flagship_shapes():
+    cfg = Config(**SMALL)
+    bits, codes, out = _roundtrip(cfg)
+    assert codes.shape == (4, 16, 3)
+    assert out.shape == (4, 16, 1)
+    assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+    # power constraint: zero mean unit (Bessel) std
+    arr = np.asarray(codes)
+    assert abs(arr.mean()) < 1e-4
+
+
+@pytest.mark.parametrize('enc,dec,n', [
+    ('TurboAE_rate3_cnn', 'TurboAE_rate3_cnn', 3),
+    ('TurboAE_rate3_cnn_dense', 'TurboAE_rate3_cnn_dense', 3),
+    ('Turboae_rate3_rnn', 'TurboAE_rate3_rnn', 3),
+    ('TurboAE_rate3_rnn_sys', 'TurboAE_rate3_cnn', 3),
+    ('TurboAE_rate2_cnn', 'TurboAE_rate2_cnn', 2),
+    ('TurboAE_rate2_rnn', 'TurboAE_rate2_rnn', 2),
+    ('rate3_cnn', 'rate3_cnn', 3),
+    ('turboae_2int', 'turboae_2int', 3),
+    ('rate3_cnn', 'nbcjr_rate3', 3),
+])
+def test_model_zoo_forward(enc, dec, n):
+    cfg = Config(encoder=enc, decoder=dec, code_rate_n=n, **SMALL)
+    bits, codes, out = _roundtrip(cfg)
+    assert codes.shape == (4, 16, n)
+    assert out.shape == (4, 16, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_model_zoo_2d():
+    cfg = Config(encoder='TurboAE_rate3_cnn2d', decoder='TurboAE_rate3_cnn2d',
+                 batch_size=2, block_len=16, img_size=4, enc_num_unit=8,
+                 dec_num_unit=8, enc_num_layer=2, dec_num_layer=2,
+                 num_iteration=2, num_iter_ft=3, enc_kernel_size=3,
+                 dec_kernel_size=3)
+    bits, codes, out = _roundtrip(cfg)
+    assert codes.shape == (2, 16, 3)
+    assert out.shape == (2, 16, 1)
+
+
+def test_decoder_scan_equals_unrolled():
+    """The lax.scan over stacked iteration weights must reproduce the
+    reference's unrolled Python loop exactly (decoders.py:229-267)."""
+    from turboae_tpu.ops import conv1d as cv
+    from turboae_tpu.ops.interleave import rand_perm, invert_perm
+
+    cfg = Config(**SMALL)
+    key = jax.random.PRNGKey(3)
+    dec_init, dec_apply = make_decoder(cfg)
+    params = dec_init(key, cfg)
+    perms = make_perms(cfg)
+    received = jax.random.normal(key, (cfg.batch_size, cfg.block_len, 3))
+    out_scan = dec_apply(params, cfg, received, perms)
+
+    # hand-unrolled reference implementation
+    p = np.asarray(perms['p1'])
+    inv = invert_perm(p)
+    r_sys, r_par1, r_par2 = received[:, :, 0:1], received[:, :, 1:2], received[:, :, 2:3]
+    r_sys_int = jnp.take(r_sys, jnp.asarray(p), axis=1)
+    prior = jnp.zeros((cfg.batch_size, cfg.block_len, cfg.num_iter_ft))
+
+    def get_iter(tree, i):
+        return jax.tree.map(lambda x: x[i], tree)
+
+    n_scan = cfg.num_iteration - 1
+    for i in range(n_scan):
+        w = get_iter(params['scan'], i)
+        h = cv.stack_apply(w['dec1_cnn'], jnp.concatenate([r_sys, r_par1, prior], axis=2))
+        x_plr = cv.linear_apply(w['dec1_lin'], h) - prior
+        x_int = jnp.take(x_plr, jnp.asarray(p), axis=1)
+        h = cv.stack_apply(w['dec2_cnn'], jnp.concatenate([r_sys_int, r_par2, x_int], axis=2))
+        x_plr2 = cv.linear_apply(w['dec2_lin'], h) - x_int
+        prior = jnp.take(x_plr2, jnp.asarray(inv), axis=1)
+
+    fw = params['final']
+    h = cv.stack_apply(fw['dec1_cnn'], jnp.concatenate([r_sys, r_par1, prior], axis=2))
+    x_plr = cv.linear_apply(fw['dec1_lin'], h) - prior
+    x_int = jnp.take(x_plr, jnp.asarray(p), axis=1)
+    h = cv.stack_apply(fw['dec2_cnn'], jnp.concatenate([r_sys_int, r_par2, x_int], axis=2))
+    logit = cv.linear_apply(fw['dec2_lin'], h)
+    out_ref = jax.nn.sigmoid(jnp.take(logit, jnp.asarray(inv), axis=1))
+
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_train_loss_decreases():
+    from turboae_tpu.train.trainer import Trainer
+    cfg = Config(batch_size=32, block_len=20, num_block=96, enc_num_unit=16,
+                 dec_num_unit=16, enc_num_layer=2, dec_num_layer=2,
+                 num_iteration=3)
+    tr = Trainer(cfg)
+    first = tr.train_epoch(0, 'decoder', verbose=False)
+    for e in range(3):
+        last = tr.train_epoch(e + 1, 'decoder', verbose=False)
+    assert last < first
+
+
+def test_ste_training_mode_runs():
+    cfg = Config(train_channel_mode='block_norm_ste', **SMALL)
+    bits, codes, out = _roundtrip(cfg)
+    assert set(np.unique(np.asarray(codes))) <= {-1.0, 1.0}
+
+
+def test_ftae_forward_and_grad():
+    from turboae_tpu.models.ftae import init_ftae, forward_ftae
+    from turboae_tpu.models.channel_ae import make_perms
+    import jax
+    import jax.numpy as jnp
+    cfg = Config(dec_type='turboae_cnn', **SMALL)
+    key = jax.random.PRNGKey(0)
+    params = init_ftae(key, cfg)
+    perms = make_perms(cfg)
+    bits = jax.random.bernoulli(key, 0.5, (4, 16, 1)).astype(jnp.float32)
+    fwd_noise = 0.5 * jax.random.normal(key, (4, 16, 3))
+    fb_noise = 0.1 * jax.random.normal(key, (4, 16, 3))
+    out, codes = forward_ftae(params, cfg, bits, fwd_noise, fb_noise, perms)
+    assert out.shape == (4, 16, 1)
+    assert codes.shape == (4, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    def loss(p):
+        o, _ = forward_ftae(p, cfg, bits, fwd_noise, fb_noise, perms)
+        return jnp.mean((jnp.clip(o, 0.0, 1.0) - bits) ** 2)
+    g = jax.grad(loss)(params)
+    flat = jax.tree.leaves(g)
+    assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
+def test_ftae_decoder_variants():
+    from turboae_tpu.models.ftae import init_ftae, forward_ftae
+    from turboae_tpu.models.channel_ae import make_perms
+    import jax
+    import jax.numpy as jnp
+    for dec_type in ('cnn', 'turboae_sharedcnn', 'turboae_rnn'):
+        cfg = Config(dec_type=dec_type, **SMALL)
+        key = jax.random.PRNGKey(1)
+        params = init_ftae(key, cfg)
+        perms = make_perms(cfg)
+        bits = jax.random.bernoulli(key, 0.5, (2, 16, 1)).astype(jnp.float32)
+        out, codes = forward_ftae(params, cfg, bits,
+                                  0.5 * jax.random.normal(key, (2, 16, 3)),
+                                  0.1 * jax.random.normal(key, (2, 16, 3)), perms)
+        assert out.shape == (2, 16, 1), dec_type
+        assert np.all(np.isfinite(np.asarray(out))), dec_type
+
+
+def test_deepturbo_encoder_on_device():
+    from turboae_tpu.models.channel_ae import make_perms
+    from turboae_tpu.models.deepturbo import turbo_enc_apply
+    from turboae_tpu.classical.trellis import turbo757_trellis
+    from turboae_tpu.classical.turbo import turbo_encode_batch
+    import jax, jax.numpy as jnp
+    cfg = Config(encoder='Turbo_rate3_757', decoder='TurboAE_rate3_cnn', **SMALL)
+    perms = make_perms(cfg)
+    key = jax.random.PRNGKey(2)
+    bits = jax.random.bernoulli(key, 0.5, (4, 16, 1)).astype(jnp.float32)
+    codes, _ = turbo_enc_apply({}, cfg, bits, perms)
+    # parity with the host oracle
+    ref = turbo_encode_batch(np.asarray(bits[:, :, 0]).astype(int),
+                             turbo757_trellis(), np.asarray(perms['p1']))
+    np.testing.assert_array_equal(np.asarray(codes), 2.0 * ref - 1.0)

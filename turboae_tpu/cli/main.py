@@ -1,0 +1,76 @@
+"""CLI entry point — reference-compatible experiment driver.
+
+Mirrors reference main.py:98-260: parse args, build model + optimizers, run
+alternating enc/dec training epochs, validate, checkpoint, SNR-sweep test.
+
+Usage (flag surface matches the reference's get_args.py):
+    python -m turboae_tpu.cli.main -encoder TurboAE_rate3_cnn \
+        -decoder TurboAE_rate3_cnn -num_epoch 10 -num_block 10000
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    from ..config import get_args
+    cfg = get_args(argv)
+
+    # stdout tee to ./logs/<id>_log.txt (reference main.py:17-27,102-107)
+    ident = str(int(time.time() % 1_000_000))
+    os.makedirs('./logs', exist_ok=True)
+    log_path = f'./logs/{ident}_log.txt'
+
+    class Tee:
+        def __init__(self, path):
+            self.terminal = sys.stdout
+            self.log = open(path, 'w')
+
+        def write(self, msg):
+            self.terminal.write(msg)
+            self.log.write(msg)
+
+        def flush(self):
+            self.terminal.flush()
+            self.log.flush()
+
+    sys.stdout = Tee(log_path)
+    print('[ID]', ident)
+    print(cfg)
+
+    from ..dist.mesh import make_mesh
+    from ..train.trainer import Trainer
+    from ..train.checkpoint import save_checkpoint, load_checkpoint
+
+    mesh = make_mesh(cfg.mesh_shape)
+    trainer = Trainer(cfg, mesh=mesh)
+
+    if cfg.init_nw_weight != 'default':
+        trainer.params = load_checkpoint(cfg.init_nw_weight, trainer.params)
+        print('loaded weights from', cfg.init_nw_weight)
+
+    # alternating training schedule (reference main.py:220-237)
+    for epoch in range(1, cfg.num_epoch + 1):
+        if cfg.joint_train:
+            trainer.train_epoch(epoch, 'joint')
+        else:
+            for _ in range(cfg.num_train_enc):
+                trainer.train_epoch(epoch, 'encoder')
+            for _ in range(cfg.num_train_dec):
+                trainer.train_epoch(epoch, 'decoder')
+        trainer.validate()
+
+    if cfg.num_epoch > 0:
+        os.makedirs('./tmp', exist_ok=True)
+        ckpt = f'./tmp/model_{ident}.msgpack'
+        save_checkpoint(ckpt, trainer.params, trainer.opt_state)
+        print('saved model', ckpt)
+
+    trainer.test()
+    return trainer
+
+
+if __name__ == '__main__':
+    main()

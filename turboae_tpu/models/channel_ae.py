@@ -1,0 +1,94 @@
+"""Composed channel autoencoder: encoder -> channel -> decoder.
+
+Reference: Channel_AE (channel_ae.py:10-73) and Channel_ModAE (:77-128).
+Pure function of (params, key, bits, noise); the interleaver permutation is an
+input (built host-side once per block_len — the reference rebuilt the seed-0
+permutation inside every forward, channel_ae.py:32-36, which is pure overhead;
+identical numerics, done once here).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..channels.apply import apply_channel
+from ..ops.ste import rx_quantize
+from .encoders import make_encoder
+from .decoders import make_decoder
+
+Params = Any
+
+
+def make_perms(cfg, block_len: Optional[int] = None, seed: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+    """Build interleaver permutations the way the reference does.
+
+    is_interleave==0 -> identity; is_same_interleaver -> seed 0 (main.py:124-127);
+    seed overrides for the variable-block-len / random-interleaver paths.
+    """
+    import numpy as np
+    from ..ops.interleave import rand_perm
+    L = block_len or cfg.block_len
+    if cfg.is_interleave == 0:
+        p1 = p2 = np.arange(L)
+    else:
+        s = 0 if seed is None else seed
+        p1 = rand_perm(L, s)
+        p2 = rand_perm(L, s + 1)  # second permutation for 2-interleaver models
+    return {'p1': jnp.asarray(p1), 'p2': jnp.asarray(p2)}
+
+
+def init_ae(key, cfg) -> Params:
+    k_enc, k_dec = jax.random.split(key)
+    enc_init, _ = make_encoder(cfg)
+    dec_init, _ = make_decoder(cfg)
+    return {'enc': enc_init(k_enc, cfg), 'dec': dec_init(k_dec, cfg)}
+
+
+def forward_ae(params: Params, cfg, key, bits, fwd_noise, perms,
+               training: bool = True, stats=None):
+    """Full AE forward (channel_ae.py:20-73). Returns (bit_estimates, codes, stats).
+
+    `key` drives only the fading gain draw; deterministic channels ignore it.
+    """
+    _, enc_apply = make_encoder(cfg)
+    _, dec_apply = make_decoder(cfg)
+
+    codes, stats = enc_apply(params['enc'], cfg, bits, perms,
+                             training=training, stats=stats)
+    received = apply_channel(key, codes, fwd_noise, cfg.channel)
+    if cfg.rec_quantize:
+        # reference passes rec_quantize_level as BOTH limit and level
+        # (channel_ae.py:69) — quirk preserved.
+        received = rx_quantize(received, cfg.rec_quantize_level, cfg.rec_quantize_level)
+    x_dec = dec_apply(params['dec'], cfg, received, perms)
+    return x_dec, codes, stats
+
+
+def init_mod_ae(key, cfg) -> Params:
+    from .modulation import mod_init, demod_init
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    enc_init, _ = make_encoder(cfg)
+    dec_init, _ = make_decoder(cfg)
+    return {'enc': enc_init(k1, cfg), 'dec': dec_init(k2, cfg),
+            'mod': mod_init(k3, cfg), 'demod': demod_init(k4, cfg)}
+
+
+def forward_mod_ae(params: Params, cfg, key, bits, fwd_noise, perms,
+                   training: bool = True, stats=None):
+    """Channel_ModAE forward (channel_ae.py:89-128): enc -> mod -> +noise ->
+    demod -> dec. Noise shape is (B, L*n/mod_rate, 2)."""
+    from .modulation import mod_apply, demod_apply
+    _, enc_apply = make_encoder(cfg)
+    _, dec_apply = make_decoder(cfg)
+
+    codes, stats = enc_apply(params['enc'], cfg, bits, perms,
+                             training=training, stats=stats)
+    symbols = mod_apply(params['mod'], cfg, codes)
+    received = symbols + fwd_noise          # awgn-family only (channel_ae.py:111)
+    if cfg.rec_quantize:
+        received = rx_quantize(received, cfg.rec_quantize_level, cfg.rec_quantize_level)
+    x_rec = demod_apply(params['demod'], cfg, received)
+    x_dec = dec_apply(params['dec'], cfg, x_rec, perms)
+    return x_dec, symbols, stats

@@ -1,0 +1,155 @@
+"""FTAE training / eval loops (reference ftae_trainer.py:19-171, ftae_main.py).
+
+Same TPU-native structure as train/trainer.py: bits + forward-noise +
+feedback-noise sampled on device inside one jitted step per phase. The
+optimizer split follows ftae_main.py:87-92: the 'encoder' phase updates the
+three forward encoders; the 'decoder' phase updates the feedback encoders AND
+the decoder.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..channels.noise import generate_noise
+from ..models.channel_ae import make_perms
+from ..models.ftae import forward_ftae, init_ftae
+from ..utils import metrics as M
+from .losses import customized_loss
+from .optimizers import make_optimizer
+
+_ENC_KEYS = ('fwd_enc1', 'fwd_enc2', 'fwd_enc3')
+_DEC_KEYS = ('fb_enc1', 'fb_enc2', 'dec')
+
+
+def _split(params, keys):
+    return {k: params[k] for k in keys}
+
+
+class FTAETrainer:
+    def __init__(self, cfg, mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.perms = make_perms(cfg)
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = init_ftae(init_key, cfg)
+
+        self.opt_enc = make_optimizer(cfg, cfg.enc_lr)
+        self.opt_dec = make_optimizer(cfg, cfg.dec_lr)
+        self.opt_state = {
+            'enc': self.opt_enc.init(_split(self.params, _ENC_KEYS)),
+            'dec': self.opt_dec.init(_split(self.params, _DEC_KEYS)),
+        }
+        self._step_enc = jax.jit(partial(self._train_step, mode='encoder'))
+        self._step_dec = jax.jit(partial(self._train_step, mode='decoder'))
+        self._eval = jax.jit(self._eval_step)
+
+    def _constrain(self, x):
+        if self.mesh is not None:
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P('data')))
+        return x
+
+    def _sample(self, key, mode):
+        cfg = self.cfg
+        k1, k2, k3 = jax.random.split(key, 3)
+        bits = self._constrain(jax.random.bernoulli(
+            k1, 0.5, (cfg.batch_size, cfg.block_len, cfg.code_rate_k)
+        ).astype(jnp.float32))
+        shape = (cfg.batch_size, cfg.block_len, 3)
+        if mode == 'encoder':
+            lo, hi = cfg.train_enc_channel_low, cfg.train_enc_channel_high
+        else:
+            lo, hi = cfg.train_dec_channel_low, cfg.train_dec_channel_high
+        fwd_noise = self._constrain(generate_noise(
+            k2, shape, cfg, snr_low=lo, snr_high=hi, mode=mode))
+        fb_noise = self._constrain(generate_noise(
+            k3, shape, cfg, snr_low=cfg.fb_channel_low,
+            snr_high=cfg.fb_channel_high, mode='decoder'))
+        return bits, fwd_noise, fb_noise
+
+    def _loss(self, diff_params, frozen_params, bits, fwd_noise, fb_noise):
+        params = {**frozen_params, **diff_params}
+        out, codes = forward_ftae(params, self.cfg, bits, fwd_noise, fb_noise,
+                                  self.perms)
+        out = jnp.clip(out, 0.0, 1.0)
+        return customized_loss(out, bits, self.cfg, code=codes)
+
+    def _train_step(self, params, opt_state, key, *, mode):
+        bits, fwd_noise, fb_noise = self._sample(key, mode)
+        keys = _ENC_KEYS if mode == 'encoder' else _DEC_KEYS
+        other = _DEC_KEYS if mode == 'encoder' else _ENC_KEYS
+        opt = self.opt_enc if mode == 'encoder' else self.opt_dec
+        st = 'enc' if mode == 'encoder' else 'dec'
+
+        diff = _split(params, keys)
+        frozen = _split(params, other)
+        loss, grads = jax.value_and_grad(self._loss)(diff, frozen, bits,
+                                                     fwd_noise, fb_noise)
+        updates, new_opt = opt.update(grads, opt_state[st], diff)
+        new_diff = jax.tree.map(lambda p, u: p + u, diff, updates)
+        new_params = {**params, **new_diff}
+        new_opt_state = dict(opt_state)
+        new_opt_state[st] = new_opt
+        return new_params, new_opt_state, loss
+
+    def train_epoch(self, epoch, mode='encoder', verbose=True):
+        cfg = self.cfg
+        step = self._step_enc if mode == 'encoder' else self._step_dec
+        n = max(1, cfg.num_block // cfg.batch_size)
+        start = time.time()
+        total = 0.0
+        for _ in range(n):
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, loss = step(self.params,
+                                                     self.opt_state, k)
+            total += float(loss)
+        avg = total / n
+        if verbose:
+            print(f'====> Epoch: {epoch} Average loss: {avg:.8f}  running time',
+                  time.time() - start)
+        return avg
+
+    def _eval_step(self, params, key, sigma):
+        cfg = self.cfg
+        k1, k2, k3 = jax.random.split(key, 3)
+        bits = self._constrain(jax.random.bernoulli(
+            k1, 0.5, (cfg.batch_size, cfg.block_len, cfg.code_rate_k)
+        ).astype(jnp.float32))
+        from ..channels.noise import sample_noise, spec_from_cfg
+        shape = (cfg.batch_size, cfg.block_len, 3)
+        fwd_noise = self._constrain(sample_noise(k2, shape, spec_from_cfg(cfg), sigma))
+        fb_noise = self._constrain(generate_noise(
+            k3, shape, cfg, snr_low=cfg.fb_channel_low,
+            snr_high=cfg.fb_channel_high, mode='decoder'))
+        out, codes = forward_ftae(params, cfg, bits, fwd_noise, fb_noise,
+                                  self.perms)
+        return M.errors_ber(bits, out), M.errors_bler(bits, out)
+
+    def test(self, verbose=True):
+        cfg = self.cfg
+        n = max(1, cfg.num_block // cfg.batch_size)
+        interval = (cfg.snr_test_end - cfg.snr_test_start) / (cfg.snr_points - 1)
+        snrs = [cfg.snr_test_start + interval * i for i in range(cfg.snr_points)]
+        bers, blers = [], []
+        for snr in snrs:
+            sigma = M.snr_db2sigma(snr)
+            tb = tbl = 0.0
+            for _ in range(n):
+                self.key, k = jax.random.split(self.key)
+                ber, bler = self._eval(self.params, k, jnp.float32(sigma))
+                tb += float(ber); tbl += float(bler)
+            bers.append(tb / n); blers.append(tbl / n)
+            if verbose:
+                print('Test SNR', snr, 'with ber ', bers[-1], 'with bler', blers[-1])
+        if verbose:
+            print('final results on SNRs ', snrs)
+            print('BER', bers)
+            print('BLER', blers)
+        return snrs, bers, blers
