@@ -69,6 +69,16 @@ def main(argv=None):
         print('saved model', ckpt)
 
     trainer.test()
+
+    # variable-block-len: also test at low/high lengths (reference main.py:251-257)
+    if cfg.is_variable_block_len:
+        from ..train.trainer import Trainer as _T
+        for L in (cfg.block_len_low, cfg.block_len_high):
+            print(f'====> test at block_len {L}')
+            t2 = _T(cfg.replace(block_len=L, is_variable_block_len=False),
+                    mesh=mesh)
+            t2.params = trainer.params
+            t2.test()
     return trainer
 
 

@@ -1,0 +1,56 @@
+"""Published reference BER/BLER curves, for comparison plots and parity checks.
+
+Transcribed benchmark DATA (not code) from the reference repo's result tables
+and committed logs — each table cites its source. These anchor the acceptance
+tests: our Monte-Carlo runs must land within confidence bounds of these values.
+"""
+
+# Classical Turbo-757, K=50, rate 1/3, 6 iterations (results/fbresults.py:20-23)
+TURBO757_K50 = {
+    'snr': [-2.0, -1.0, 0.0, 1.0, 2.0, 3.0, 4.0],
+    'ber': [9.88e-2, 3.90e-2, 8.18e-3, 8.04e-4, 2.56e-5, 2.64e-6, 4.8e-7],
+}
+
+# Classical Turbo-757, K=1000, 6 iterations (results/fbresults.py:26-37)
+TURBO757_K1000 = {
+    'snr': [-1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0],
+    'ber': [2.84e-2, 9.6e-3, 1.57e-3, 1.69e-4, 1.9e-5, 2.4e-6, 6.4e-7,
+            4.5e-7, 3.2e-7, 1.6e-7, 4.3e-8, 0.0],
+}
+
+# TurboAE-CNN (enc2/dec5 maxBCE run), K=100, AWGN (tmp/114255_log.txt)
+TURBOAE_CNN_K100 = {
+    'snr': [-1.5, 0.0, 2.0, 4.0],
+    'ber': [8.94e-2, 4.57e-3, 3.02e-5, 4.0e-7],
+    'bler': [7.09e-1, 1.17e-1, 2.10e-3, 2e-5],
+}
+
+# Fine-tuned TurboAE (tmp/724820_log.txt)
+TURBOAE_CNN_K100_FINETUNED = {
+    'snr': [0.0, 2.0],
+    'ber': [4.38e-3, 2.08e-5],
+}
+
+# DeepCode feedback reference, K=50 (results/fbresults.py:41-44)
+DEEPCODE_K50 = {
+    'snr': [-2.0, -1.0, 0.0, 1.0, 2.0],
+    'ber': [9.09e-3, 1.30e-4, 2.0e-6, 1.0e-7, 4.0e-8],
+}
+
+# Convolutional code BT5 S=2 rate 1/2 (results/fbresults.py:56-58)
+CONV_BT5_RATE2 = {
+    'snr': [0.0, 2.0, 4.0, 6.0],
+    'ber': [1.06e-1, 1.40e-2, 4.10e-4, 3.4e-6],
+}
+
+# Uncoded rate-2 hard decision (results/fbresults.py:48-54)
+UNCODED_RATE2 = {
+    'snr': [0.0, 2.0, 4.0, 6.0],
+    'ber': [7.75e-2, 3.77e-2, 1.08e-2, 2.5e-3],
+}
+
+# LDPC (96,48) Gallager SPA FER (commpy/channelcoding/tests/test_ldpc.py:37-62)
+LDPC_96_48_FER = {
+    'ebn0': [2.0, 2.5],
+    'fer': [0.2, 0.1],
+}

@@ -55,8 +55,13 @@ class Trainer:
         self._step_enc = jax.jit(partial(self._train_step, mode='encoder'))
         self._step_dec = jax.jit(partial(self._train_step, mode='decoder'))
         self._step_joint = jax.jit(partial(self._train_step, mode='joint'))
+        # variable-block-len: per-(mode, length) jitted steps, built lazily
+        self._vbl_steps = {}
+        self._vbl_perms = {}
         self._eval = jax.jit(self._eval_step)
+        self._evalp = jax.jit(self._eval_punc)
         self._val = jax.jit(self._val_step)
+        self.norm_stats = None
 
     # -------------------------------------------------------------
     def _constrain(self, x):
@@ -119,18 +124,56 @@ class Trainer:
         return new_params, new_opt_state, loss
 
     # -------------------------------------------------------------
+    def _vbl_buckets(self, n_buckets: int = 8):
+        """Quantize [block_len_low, block_len_high) into <= n_buckets lengths
+        so variable-block-len training (reference trainer.py:36-39) compiles a
+        bounded number of XLA programs instead of one per length."""
+        cfg = self.cfg
+        lo, hi = cfg.block_len_low, cfg.block_len_high
+        lens = sorted(set(np.linspace(lo, hi - 1, n_buckets).astype(int).tolist()))
+        return lens
+
+    def _vbl_step(self, mode: str, block_len: int):
+        key = (mode, block_len)
+        if key not in self._vbl_steps:
+            cfg_l = self.cfg.replace(block_len=block_len)
+            sub = Trainer.__new__(Trainer)
+            sub.__dict__.update(self.__dict__)
+            sub.cfg = cfg_l
+            # reference draws a fresh interleaver seed in [0, is_interleave)
+            # per forward (encoders.py:353-360); we fix one per length bucket
+            # (identical distribution over training, static under jit)
+            sub.perms = None
+            from ..models.channel_ae import make_perms
+            seed = int(np.random.randint(0, max(1, self.cfg.is_interleave)))
+            sub.perms = make_perms(cfg_l, block_len=block_len, seed=seed)
+            self._vbl_perms[block_len] = sub.perms
+            self._vbl_steps[key] = jax.jit(partial(sub._train_step, mode=mode))
+        return self._vbl_steps[key]
+
     def train_epoch(self, epoch: int, mode: str = 'encoder', verbose: bool = True):
         """One epoch = num_block/batch_size optimizer steps (trainer.py:33)."""
         cfg = self.cfg
-        step = {'encoder': self._step_enc, 'decoder': self._step_dec,
-                'joint': self._step_joint}[mode]
         num_batches = max(1, cfg.num_block // cfg.batch_size)
         start = time.time()
         total = 0.0
-        for _ in range(num_batches):
-            self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, loss = step(self.params, self.opt_state, k)
-            total += float(loss)
+        if cfg.is_variable_block_len:
+            buckets = self._vbl_buckets()
+            for _ in range(num_batches):
+                L = int(np.random.choice(buckets))
+                step = self._vbl_step(mode, L)
+                self.key, k = jax.random.split(self.key)
+                self.params, self.opt_state, loss = step(self.params,
+                                                         self.opt_state, k)
+                total += float(loss)
+        else:
+            step = {'encoder': self._step_enc, 'decoder': self._step_dec,
+                    'joint': self._step_joint}[mode]
+            for _ in range(num_batches):
+                self.key, k = jax.random.split(self.key)
+                self.params, self.opt_state, loss = step(self.params,
+                                                         self.opt_state, k)
+                total += float(loss)
         avg = total / num_batches
         if verbose:
             print(f'====> Epoch: {epoch} Average loss: {avg:.8f}  running time',
@@ -187,36 +230,139 @@ class Trainer:
         return (M.errors_ber(bits, out), M.errors_bler(bits, out),
                 M.errors_ber_pos(bits, out), M.code_power(code))
 
+    def _eval_punc(self, params, key, sigma, punc_mask):
+        """Punctured-metric eval batch (reference trainer.py:194-213)."""
+        cfg = self.cfg
+        k_bits, k_noise, k_fwd = jax.random.split(key, 3)
+        bits = self._constrain(_sample_bits(
+            k_bits, (cfg.batch_size, cfg.block_len, cfg.code_rate_k)))
+        from ..channels.noise import sample_noise, spec_from_cfg
+        noise = self._constrain(sample_noise(
+            k_noise, (cfg.batch_size, cfg.block_len, cfg.code_rate_n),
+            spec_from_cfg(cfg), sigma))
+        out, _, _ = forward_ae(params, cfg, k_fwd, bits, noise, self.perms,
+                               training=False)
+        return (M.errors_ber_punctured(bits, out, punc_mask),
+                M.errors_bler(bits, out, punc_mask))
+
+    def precompute_norm_stats(self):
+        """Run the encoder over random bits accumulating running mean/std
+        (reference trainer.py:146-153). Stored in self.norm_stats."""
+        from ..ops.power import init_norm_stats
+        from ..models.encoders import make_encoder
+        cfg = self.cfg
+        _, enc_apply = make_encoder(cfg)
+
+        @jax.jit
+        def enc_pass(params, key, stats):
+            bits = _sample_bits(key, (cfg.batch_size, cfg.block_len,
+                                      cfg.code_rate_k))
+            _, stats = enc_apply(params['enc'], cfg, bits, self.perms,
+                                 training=False, stats=stats)
+            return stats
+
+        stats = init_norm_stats()
+        n = max(1, int(cfg.num_block / cfg.batch_size * cfg.test_ratio))
+        for _ in range(n):
+            self.key, k = jax.random.split(self.key)
+            stats = enc_pass(self.params, k, stats)
+        self.norm_stats = stats
+        print('Pre-computed norm statistics mean ', float(stats.mean),
+              'std ', float(stats.std))
+        return stats
+
+    def encoder_power(self, num_batches: int):
+        """Mean std of encoder output (reference trainer.py:238-248)."""
+        from ..models.encoders import make_encoder
+        cfg = self.cfg
+        _, enc_apply = make_encoder(cfg)
+
+        @jax.jit
+        def enc_std(params, key):
+            bits = _sample_bits(key, (cfg.batch_size, cfg.block_len,
+                                      cfg.code_rate_k))
+            codes, _ = enc_apply(params['enc'], cfg, bits, self.perms,
+                                 training=False)
+            m = jnp.mean(codes)
+            return jnp.sqrt(jnp.sum((codes - m) ** 2) / (codes.size - 1))
+
+        total = 0.0
+        for _ in range(num_batches):
+            self.key, k = jax.random.split(self.key)
+            total += float(enc_std(self.params, k))
+        return total / num_batches
+
     def test(self, block_len=None, verbose: bool = True):
         """SNR sweep -> (snrs, ber, bler) (reference trainer.py:135-248).
 
         Implements the FIXED post-2022 noise semantics: fresh noise per batch at
         sigma = snr_db2sigma(snr). For bec/bsc/ge channels sigma is the raw
         test probability, matching generate_noise's test path (channels.py:28-31).
+        Includes the punctured second pass (top num_ber_puncture worst
+        positions zeroed) and positional BER / code power reporting.
         """
+        import numpy as np
         cfg = self.cfg
+        if cfg.precompute_norm_stats:
+            self.precompute_norm_stats()
         num_batches = max(1, cfg.num_block // cfg.batch_size)
         interval = (cfg.snr_test_end - cfg.snr_test_start) / (cfg.snr_points - 1)
         snrs = [cfg.snr_test_start + interval * i for i in range(cfg.snr_points)]
         if verbose:
             print('SNRS', snrs)
         ber_res, bler_res = [], []
+        ber_res_punc, bler_res_punc = [], []
         for snr in snrs:
             if cfg.channel in ('bec', 'bsc', 'ge'):
                 sigma = snr
             else:
                 sigma = M.snr_db2sigma(snr)
             tb = tbl = 0.0
+            pos_ber = None
+            pw = None
             for _ in range(num_batches):
                 self.key, k = jax.random.split(self.key)
-                ber, bler, _, _ = self._eval(self.params, k, jnp.float32(sigma))
+                ber, bler, pos, power = self._eval(self.params, k,
+                                                   jnp.float32(sigma))
                 tb += float(ber); tbl += float(bler)
+                pos_ber = pos if pos_ber is None else pos_ber + pos
+                pw = power if pw is None else pw + power
             tb /= num_batches; tbl /= num_batches
+            pos_ber = np.asarray(pos_ber) / num_batches
+            if cfg.print_pos_power and verbose:
+                print('code power', np.asarray(pw) / num_batches)
+            res_pos_arg = pos_ber.argsort()[::-1].tolist()
+            if cfg.print_pos_ber and verbose:
+                print('positional ber', pos_ber)
+                print('positional argmax', res_pos_arg)
+
+            # punctured second pass (reference trainer.py:194-213)
+            punc_mask = np.ones(cfg.block_len, np.float32)
+            punc_mask[res_pos_arg[:cfg.num_ber_puncture]] = 0.0
+            tbp = tblp = 0.0
+            for _ in range(num_batches):
+                self.key, k = jax.random.split(self.key)
+                bp, blp = self._evalp(
+                    self.params, k, jnp.float32(sigma), jnp.asarray(punc_mask))
+                tbp += float(bp); tblp += float(blp)
+            tbp /= num_batches; tblp /= num_batches
+
             if verbose:
                 print('Test SNR', snr, 'with ber ', tb, 'with bler', tbl)
+                print('Punctured Test SNR', snr, 'with ber ', tbp,
+                      'with bler', tblp)
             ber_res.append(tb); bler_res.append(tbl)
+            ber_res_punc.append(tbp); bler_res_punc.append(tblp)
         if verbose:
             print('final results on SNRs ', snrs)
             print('BER', ber_res)
             print('BLER', bler_res)
+            print('final results on punctured SNRs ', snrs)
+            print('BER', ber_res_punc)
+            print('BLER', bler_res_punc)
+            enc_power = self.encoder_power(num_batches)
+            print('encoder power is', enc_power)
+            adj_snrs = [M.snr_sigma2db(M.snr_db2sigma(s) / enc_power)
+                        for s in snrs]
+            print('adjusted SNR should be', adj_snrs)
         return snrs, ber_res, bler_res
