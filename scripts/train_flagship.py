@@ -1,0 +1,107 @@
+"""Flagship TurboAE training driver for the real TPU chip.
+
+Runs the reference's alternating 1-enc/5-dec schedule (main.py:220-233) with
+periodic checkpointing + JSONL metrics, resumable via --resume. Designed to be
+launched in the background for long runs:
+
+    python scripts/train_flagship.py --epochs 200 --num_block 25000 \
+        --ckpt tmp/flagship.msgpack --metrics logs/flagship.jsonl
+
+Reference training recipe (docs/howtos.md): continuous power constraint
+first; STE binarization fine-tune afterwards (--train_channel_mode
+block_norm_ste --resume <ckpt>).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--epochs', type=int, default=100)
+    p.add_argument('--num_block', type=int, default=25000)
+    p.add_argument('--batch_size', type=int, default=500)
+    p.add_argument('--block_len', type=int, default=100)
+    p.add_argument('--ckpt', default='tmp/flagship.msgpack')
+    p.add_argument('--metrics', default='logs/flagship.jsonl')
+    p.add_argument('--resume', default='')
+    p.add_argument('--train_channel_mode', default='block_norm')
+    p.add_argument('--num_train_enc', type=int, default=1)
+    p.add_argument('--num_train_dec', type=int, default=5)
+    p.add_argument('--ckpt_every', type=int, default=10)
+    p.add_argument('--val_every', type=int, default=5)
+    p.add_argument('--time_budget_s', type=float, default=0,
+                   help='stop cleanly after this many seconds (0 = no limit)')
+    args = p.parse_args()
+
+    from turboae_tpu.config import Config
+    from turboae_tpu.train.trainer import Trainer
+    from turboae_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+    from turboae_tpu.utils.logging import MetricsLogger
+
+    os.makedirs(os.path.dirname(args.ckpt) or '.', exist_ok=True)
+    os.makedirs(os.path.dirname(args.metrics) or '.', exist_ok=True)
+
+    cfg = Config(batch_size=args.batch_size, block_len=args.block_len,
+                 num_block=args.num_block,
+                 train_channel_mode=args.train_channel_mode,
+                 num_train_enc=args.num_train_enc,
+                 num_train_dec=args.num_train_dec)
+    trainer = Trainer(cfg)
+    metrics = MetricsLogger(args.metrics)
+
+    start_epoch = 0
+    if args.resume and os.path.exists(args.resume):
+        loaded = load_checkpoint(args.resume, trainer.params,
+                                 trainer.opt_state)
+        if isinstance(loaded, tuple):
+            trainer.params, trainer.opt_state, start_epoch = loaded
+        else:
+            trainer.params = loaded
+        print(f'resumed from {args.resume} at epoch {start_epoch}', flush=True)
+
+    t_start = time.time()
+    for epoch in range(start_epoch + 1, args.epochs + 1):
+        t0 = time.time()
+        enc_loss = dec_loss = 0.0
+        for _ in range(cfg.num_train_enc):
+            enc_loss = trainer.train_epoch(epoch, 'encoder', verbose=False)
+        for _ in range(cfg.num_train_dec):
+            dec_loss = trainer.train_epoch(epoch, 'decoder', verbose=False)
+        dt = time.time() - t0
+        blocks = cfg.num_block * (cfg.num_train_enc + cfg.num_train_dec)
+        print(f'epoch {epoch}: enc_loss {enc_loss:.6f} dec_loss {dec_loss:.6f} '
+              f'{dt:.1f}s ({blocks / dt:.0f} blk/s)', flush=True)
+        metrics.log('epoch', epoch=epoch, enc_loss=enc_loss,
+                    dec_loss=dec_loss, seconds=dt)
+
+        if epoch % args.val_every == 0:
+            bce, ber = trainer.validate(verbose=False)
+            print(f'  validate: bce {bce:.6f} ber {ber:.6f}', flush=True)
+            metrics.log('validate', epoch=epoch, bce=bce, ber=ber)
+
+        if epoch % args.ckpt_every == 0 or epoch == args.epochs:
+            save_checkpoint(args.ckpt, trainer.params, trainer.opt_state,
+                            step=epoch)
+            metrics.log('checkpoint', epoch=epoch, path=args.ckpt)
+
+        if args.time_budget_s and time.time() - t_start > args.time_budget_s:
+            print(f'time budget reached at epoch {epoch}; checkpointing and '
+                  f'stopping', flush=True)
+            save_checkpoint(args.ckpt, trainer.params, trainer.opt_state,
+                            step=epoch)
+            break
+
+    # final quick test sweep at reduced num_block for a progress snapshot
+    test_cfg_blocks = min(10000, args.num_block)
+    trainer.cfg = cfg.replace(num_block=test_cfg_blocks)
+    snrs, ber, bler = trainer.test(verbose=True)
+    metrics.log('test', snrs=snrs, ber=ber, bler=bler)
+    metrics.close()
+
+
+if __name__ == '__main__':
+    main()

@@ -15,9 +15,17 @@ keeps gradients bit-identical to ops/conv1d.stack_apply). Used by default on
 the eval/serving path; training uses it too via the custom_vjp.
 
 Layout notes: C (lane dim) should be a multiple of 128 for full MXU
-utilization; the bench config (C=100) pads to 128 lanes — still a large win
-over per-layer HBM round trips. Tile TB chosen so 2 activation buffers
-(TB, L+K-1, C) f32 fit comfortably in ~16 MB VMEM.
+utilization; the bench config (C=100) pads to 128 lanes. Tile TB chosen so 2
+activation buffers (TB, L+K-1, C) f32 fit comfortably in ~16 MB VMEM.
+
+MEASURED (1x TPU v5e, B=500 L=100 C=100 K=5, 5 layers): this kernel runs
+1.13 ms vs 0.57 ms for XLA's unfused conv chain — XLA's conv kernels win at
+these shapes because the K-loop of small (TB*L, C) matmuls (C=100 padded to
+128 lanes) underutilizes the MXU more than the per-layer HBM round trips
+cost. Kept as an experimental kernel (numerics validated to 4e-4); NOT wired
+into the model path. To beat XLA here the matmuls need K folded into the
+contraction (im2col in VMEM, (TB*L, K*C) x (K*C, C)) and a bf16 data path —
+future work.
 """
 from __future__ import annotations
 

@@ -49,14 +49,18 @@ def conv1d_apply(params: Params, x: jnp.ndarray, compute_dtype=jnp.float32) -> j
     w = params['w'].astype(compute_dtype)
     k = w.shape[0]
     pad = k // 2
+    # bf16 note: conv's VJP requires operand dtypes to match, so under bf16 the
+    # output stays bf16 (the MXU still accumulates in f32 internally); under
+    # f32 we request f32 accumulation explicitly.
+    preferred = jnp.float32 if compute_dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x.astype(compute_dtype), w,
         window_strides=(1,),
         padding=[(pad, pad)],
         dimension_numbers=('NWC', 'WIO', 'NWC'),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
-    return y + params['b']
+    return y + params['b'].astype(compute_dtype)
 
 
 def stack_init(key, num_layer: int, in_channels: int, out_channels: int,
@@ -115,7 +119,7 @@ def linear_init(key, in_features: int, out_features: int) -> Params:
 def linear_apply(params: Params, x, compute_dtype=jnp.float32):
     y = jnp.dot(x.astype(compute_dtype), params['w'].astype(compute_dtype),
                 preferred_element_type=jnp.float32)
-    return y + params['b']
+    return y + params['b']  # f32 out: heads feed power-norm / extrinsic math
 
 
 # ---------------- 2D variants (reference cnn_utils.py:89-154) ----------------
@@ -135,14 +139,15 @@ def conv2d_apply(params: Params, x, compute_dtype=jnp.float32):
     w = params['w'].astype(compute_dtype)
     k = w.shape[0]
     pad = k // 2
+    preferred = jnp.float32 if compute_dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x.astype(compute_dtype), w,
         window_strides=(1, 1),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
-    return y + params['b']
+    return y + params['b'].astype(compute_dtype)
 
 
 def stack2d_init(key, num_layer: int, in_channels: int, out_channels: int,

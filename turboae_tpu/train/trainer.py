@@ -315,6 +315,11 @@ class Trainer:
         for snr in snrs:
             if cfg.channel in ('bec', 'bsc', 'ge'):
                 sigma = snr
+            elif cfg.legacy_noise:
+                # pre-2022 reference bug (README.md:2): the SNR value was used
+                # directly as sigma; kept behind a flag for bug-compatible
+                # comparisons against old published logs
+                sigma = snr
             else:
                 sigma = M.snr_db2sigma(snr)
             tb = tbl = 0.0
