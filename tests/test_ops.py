@@ -151,3 +151,19 @@ def test_dense_stack_channels():
     x = jnp.ones((2, 8, 2))
     y = cv.dense_stack_apply(params, x)
     assert y.shape == (2, 8, 5)
+
+
+def test_bce_loss_no_nan_at_saturation():
+    """BCE must stay finite (and produce finite grads) when the decoder
+    saturates to exactly 0/1 in f32 — the NaN that killed training runs
+    before the eps/log clamps."""
+    from turboae_tpu.train.losses import customized_loss
+    from turboae_tpu.config import Config
+    cfg = Config(loss='bce')
+    out = jnp.asarray([[[1.0], [0.0], [0.5]]])
+    tgt = jnp.asarray([[[0.0], [1.0], [1.0]]])
+    loss = customized_loss(out, tgt, cfg)
+    assert np.isfinite(float(loss))
+
+    g = jax.grad(lambda o: customized_loss(o, tgt, cfg))(out)
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -21,6 +21,14 @@ def get_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('-enc1', type=int, default=7, help='octal generator 1')
     p.add_argument('-enc2', type=int, default=5, help='octal generator 2')
+    p.add_argument('-enc3', type=int, default=0,
+                   help='octal generator 3 (rate 1/3, relay benchmark)')
+    p.add_argument('-enc4', type=int, default=0,
+                   help='octal generator 4 (rate 1/4, relay benchmark)')
+    p.add_argument('-fair', type=int, default=0,
+                   help='zero the tail received symbols for fair comparison '
+                        'with unterminated neural decoders '
+                        '(reference relay_conv_codes_benchmark.py)')
     p.add_argument('-M', type=int, default=2, help='memory')
     p.add_argument('-feedback', type=int, default=0)
     p.add_argument('-code_type', choices=['default', 'rsc'], default='default')
@@ -49,7 +57,12 @@ def run(args):
                                       make_jax_viterbi)
     from ..classical.channels import corrupt_signal
 
-    trellis = Trellis(np.array([args.M]), np.array([[args.enc1, args.enc2]]),
+    gens = [args.enc1, args.enc2]
+    if args.enc3:
+        gens.append(args.enc3)
+    if args.enc4:
+        gens.append(args.enc4)
+    trellis = Trellis(np.array([args.M]), np.array([gens]),
                       args.feedback, args.code_type)
     n = trellis.n
     M = trellis.total_memory
@@ -77,6 +90,11 @@ def run(args):
         if args.channel == 'bsc':
             # hard decisions back to bits for hard decoding
             rx = (rx > 0).astype(float)
+        if args.fair:
+            # zero the 2M tail symbols (relay_conv_codes_benchmark.py 'fair')
+            rx = rx.reshape(args.num_block, -1)
+            rx[:, -2 * M:] = 0.0
+            rx = rx.reshape(args.num_block, T, n)
 
         if args.engine == 'jax':
             import jax.numpy as jnp

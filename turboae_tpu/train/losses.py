@@ -5,12 +5,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_EPS = 1e-10
+_EPS = 1e-7  # must exceed f32 ulp at 1.0 (1e-10 rounds 1-eps to exactly 1.0
+             # and log(1-o) becomes -inf once the decoder saturates)
 
 
 def _bce_elementwise(output, target):
     o = jnp.clip(output, _EPS, 1.0 - _EPS)
-    return -(target * jnp.log(o) + (1.0 - target) * jnp.log(1.0 - o))
+    # clamp each log at -100 like torch's F.binary_cross_entropy, bounding
+    # the loss (and its gradient) when predictions saturate
+    log_o = jnp.maximum(jnp.log(o), -100.0)
+    log_1mo = jnp.maximum(jnp.log(1.0 - o), -100.0)
+    return -(target * log_o + (1.0 - target) * log_1mo)
 
 
 def customized_loss(output, x_train, cfg, code=None):

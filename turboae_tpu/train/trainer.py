@@ -70,9 +70,14 @@ class Trainer:
                 x, NamedSharding(self.mesh, P('data')))
         return x
 
-    def _sample_batch(self, key, mode):
+    def _sample_batch(self, key, mode, bits_key=None):
+        """bits_key overrides the bit-sampling key so the encoder phase can
+        reuse the same codewords for k consecutive steps while noise stays
+        fresh (is_k_same_code, reference trainer.py:43-51)."""
         cfg = self.cfg
         k_bits, k_noise = jax.random.split(key)
+        if bits_key is not None:
+            k_bits = bits_key
         bits = self._constrain(_sample_bits(
             k_bits, (cfg.batch_size, cfg.block_len, cfg.code_rate_k)))
         noise_shape = (cfg.batch_size, cfg.block_len, cfg.code_rate_n)
@@ -91,9 +96,9 @@ class Trainer:
         out = jnp.clip(out, 0.0, 1.0)
         return customized_loss(out, bits, self.cfg, code=code)
 
-    def _train_step(self, params, opt_state, key, *, mode):
+    def _train_step(self, params, opt_state, key, bits_key=None, *, mode):
         k_data, k_fwd = jax.random.split(key)
-        bits, noise = self._sample_batch(k_data, mode)
+        bits, noise = self._sample_batch(k_data, mode, bits_key)
 
         if mode == 'encoder':
             merge = lambda d, f: {'enc': d, 'dec': f}
@@ -169,10 +174,18 @@ class Trainer:
         else:
             step = {'encoder': self._step_enc, 'decoder': self._step_dec,
                     'joint': self._step_joint}[mode]
-            for _ in range(num_batches):
+            same_code = cfg.is_k_same_code and mode == 'encoder'
+            bits_key = None
+            for i in range(num_batches):
                 self.key, k = jax.random.split(self.key)
-                self.params, self.opt_state, loss = step(self.params,
-                                                         self.opt_state, k)
+                if same_code:
+                    if i % cfg.k_same_code == 0:
+                        self.key, bits_key = jax.random.split(self.key)
+                    self.params, self.opt_state, loss = step(
+                        self.params, self.opt_state, k, bits_key)
+                else:
+                    self.params, self.opt_state, loss = step(self.params,
+                                                             self.opt_state, k)
                 total += float(loss)
         avg = total / num_batches
         if verbose:
