@@ -57,12 +57,14 @@ def forward_ae(params: Params, cfg, key, bits, fwd_noise, perms,
 
     codes, stats = enc_apply(params['enc'], cfg, bits, perms,
                              training=training, stats=stats)
-    received = apply_channel(key, codes, fwd_noise, cfg.channel)
+    k_chan, k_dec = jax.random.split(key)
+    received = apply_channel(k_chan, codes, fwd_noise, cfg.channel)
     if cfg.rec_quantize:
         # reference passes rec_quantize_level as BOTH limit and level
         # (channel_ae.py:69) — quirk preserved.
         received = rx_quantize(received, cfg.rec_quantize_level, cfg.rec_quantize_level)
-    x_dec = dec_apply(params['dec'], cfg, received, perms)
+    x_dec = dec_apply(params['dec'], cfg, received, perms, key=k_dec,
+                      training=training)
     return x_dec, codes, stats
 
 
@@ -90,5 +92,6 @@ def forward_mod_ae(params: Params, cfg, key, bits, fwd_noise, perms,
     if cfg.rec_quantize:
         received = rx_quantize(received, cfg.rec_quantize_level, cfg.rec_quantize_level)
     x_rec = demod_apply(params['demod'], cfg, received)
-    x_dec = dec_apply(params['dec'], cfg, x_rec, perms)
+    x_dec = dec_apply(params['dec'], cfg, x_rec, perms, key=key,
+                      training=training)
     return x_dec, symbols, stats

@@ -84,7 +84,7 @@ def largecnn_init(key, cfg) -> Params:
     }
 
 
-def largecnn_apply(params, cfg, received, perms) -> jnp.ndarray:
+def largecnn_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dense = cfg.decoder == 'TurboAE_rate3_cnn_dense'
     dt = _dtype(cfg)
     act = activation(cfg.dec_act)
@@ -154,7 +154,7 @@ def largernn_init(key, cfg) -> Params:
     }
 
 
-def largernn_apply(params, cfg, received, perms) -> jnp.ndarray:
+def largernn_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dt = _dtype(cfg)
     act = activation(cfg.dec_act)
     p, inv = _perm_pair(perms)
@@ -167,32 +167,50 @@ def largernn_apply(params, cfg, received, perms) -> jnp.ndarray:
     b, l, _ = received.shape
     prior0 = jnp.zeros((b, l, cfg.num_iter_ft), jnp.float32)
 
-    def half_iter(w_rnn, w_lin, inputs, sub):
+    use_dropout = training and cfg.dropout > 0 and key is not None
+
+    def maybe_dropout(x, k):
+        # reference: x_plr = dec_act(dropout(linear(...))) (decoders.py:103)
+        if not use_dropout:
+            return x
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(k, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+    def half_iter(w_rnn, w_lin, inputs, sub, dk):
         h = rnn.birnn_apply(w_rnn, inputs, cfg.dec_rnn, compute_dtype=dt)
-        x_plr = act(cv.linear_apply(w_lin, h, compute_dtype=dt))
+        x_plr = act(maybe_dropout(cv.linear_apply(w_lin, h, compute_dtype=dt), dk))
         if cfg.extrinsic:
             x_plr = x_plr - sub
         return x_plr
 
-    def body(prior, w):
+    base_key = key if key is not None else jax.random.PRNGKey(0)
+
+    def body(prior, xs):
+        w, idx = xs
+        k1 = jax.random.fold_in(base_key, 2 * idx)
+        k2 = jax.random.fold_in(base_key, 2 * idx + 1)
         x_plr = half_iter(w['dec1_rnn'], w['dec1_lin'],
-                          jnp.concatenate([r_sys, r_par1, prior], axis=2), prior)
+                          jnp.concatenate([r_sys, r_par1, prior], axis=2), prior, k1)
         x_plr_int = jnp.take(x_plr, p, axis=1)
         x_plr2 = half_iter(w['dec2_rnn'], w['dec2_lin'],
                            jnp.concatenate([r_sys_int, r_par2, x_plr_int], axis=2),
-                           x_plr_int)
+                           x_plr_int, k2)
         return jnp.take(x_plr2, inv, axis=1), None
 
-    prior, _ = lax.scan(body, prior0, params['scan'])
+    n_scan = cfg.num_iteration - 1
+    prior, _ = lax.scan(body, prior0, (params['scan'], jnp.arange(n_scan)))
 
     fw = params['final']
+    k1 = jax.random.fold_in(base_key, 2 * n_scan)
+    k2 = jax.random.fold_in(base_key, 2 * n_scan + 1)
     x_plr = half_iter(fw['dec1_rnn'], fw['dec1_lin'],
-                      jnp.concatenate([r_sys, r_par1, prior], axis=2), prior)
+                      jnp.concatenate([r_sys, r_par1, prior], axis=2), prior, k1)
     x_plr_int = jnp.take(x_plr, p, axis=1)
     h = rnn.birnn_apply(fw['dec2_rnn'],
                         jnp.concatenate([r_sys_int, r_par2, x_plr_int], axis=2),
                         cfg.dec_rnn, compute_dtype=dt)
-    logit = act(cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt))
+    logit = act(maybe_dropout(cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt), k2))
     return jax.nn.sigmoid(jnp.take(logit, inv, axis=1))
 
 
@@ -204,7 +222,7 @@ def largecnn2int_init(key, cfg) -> Params:
     return largecnn_init(key, cfg.replace(decoder='TurboAE_rate3_cnn'))
 
 
-def largecnn2int_apply(params, cfg, received, perms) -> jnp.ndarray:
+def largecnn2int_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dt = _dtype(cfg)
     act = activation(cfg.dec_act)
     p1, inv1 = _perm_pair(perms, 'p1')
@@ -257,7 +275,7 @@ def largecnn_rate2_init(key, cfg) -> Params:
     return largecnn_init(key, cfg.replace(decoder='TurboAE_rate3_cnn'))
 
 
-def largecnn_rate2_apply(params, cfg, received, perms) -> jnp.ndarray:
+def largecnn_rate2_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dt = _dtype(cfg)
     act = activation(cfg.dec_act)
     p, inv = _perm_pair(perms)
@@ -318,7 +336,7 @@ def largernn_rate2_init(key, cfg) -> Params:
                       'dec1_lin': d1l[-1], 'dec2_lin': final_lin}}
 
 
-def largernn_rate2_apply(params, cfg, received, perms) -> jnp.ndarray:
+def largernn_rate2_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dt = _dtype(cfg)
     act = activation(cfg.dec_act)
     p, inv = _perm_pair(perms)
@@ -367,7 +385,7 @@ def cnn_rate3_init(key, cfg) -> Params:
             'lin': cv.linear_init(k2, cfg.dec_num_unit, 1)}
 
 
-def cnn_rate3_apply(params, cfg, received, perms) -> jnp.ndarray:
+def cnn_rate3_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dt = _dtype(cfg)
     h = cv.stack_apply(params['cnn'], received, compute_dtype=dt)
     return jax.nn.sigmoid(cv.linear_apply(params['lin'], h, compute_dtype=dt))
@@ -385,7 +403,7 @@ def nbcjr_init(key, cfg) -> Params:
             'final': cv.linear_init(k3, cfg.num_iter_ft, 1)}
 
 
-def nbcjr_apply(params, cfg, received, perms) -> jnp.ndarray:
+def nbcjr_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dt = _dtype(cfg)
     p, inv = _perm_pair(perms)
     r_sys = received[:, :, 0:1]
@@ -451,7 +469,7 @@ def largecnn2d_init(key, cfg) -> Params:
                       'dec1_out': d1o[-1], 'dec2_out': final_o}}
 
 
-def largecnn2d_apply(params, cfg, received, perms) -> jnp.ndarray:
+def largecnn2d_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dense = cfg.decoder == 'TurboAE_rate3_cnn2d_dense'
     dt = _dtype(cfg)
     stackf = cv.dense_stack2d_apply if dense else cv.stack2d_apply
@@ -510,7 +528,7 @@ def cnn2d_init(key, cfg) -> Params:
             'out': cnn_init(k2, 1, cfg.dec_num_unit, 1, 1)}
 
 
-def cnn2d_apply(params, cfg, received, perms) -> jnp.ndarray:
+def cnn2d_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dense = cfg.decoder == 'TurboAE_rate3_cnn2d_dense'
     dt = _dtype(cfg)
     stackf = cv.dense_stack2d_apply if dense else cv.stack2d_apply
