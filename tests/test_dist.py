@@ -89,3 +89,14 @@ def test_lookahead_optimizer_syncs():
     updates, state = opt.update(g, state, params)
     params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params['w']), 0.7, rtol=1e-5)
+
+
+def test_time_sharded_matches_single_device():
+    """Sequence-parallel (time-axis) sharding: interleaver all-to-all + conv
+    halo exchange via GSPMD must reproduce single-device numerics."""
+    cfg = Config(shard_axis='time', **SMALL)
+    tr1 = Trainer(Config(**SMALL))
+    trt = Trainer(cfg, mesh=make_mesh((8,)))
+    l1 = tr1.train_epoch(0, 'decoder', verbose=False)
+    lt = trt.train_epoch(0, 'decoder', verbose=False)
+    assert abs(l1 - lt) < 1e-4, (l1, lt)

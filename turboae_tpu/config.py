@@ -171,6 +171,9 @@ class Config:
     # ---- TPU-native additions (not in reference) ----
     dtype: str = 'float32'            # compute dtype for conv stacks: float32 | bfloat16
     mesh_shape: Tuple[int, ...] = ()  # () => single device; e.g. (8,) => 8-way data parallel
+    shard_axis: str = 'batch'         # batch | time: shard codeword blocks (DP) or the
+                                      # block/time axis (SP; interleaver becomes an
+                                      # XLA all-to-all, convs get halo exchange)
     seed: int = 0                     # master PRNG seed
     legacy_noise: bool = False        # reproduce pre-2022 test-noise bug (README.md:2)
     log_jsonl: str = ''               # if set, structured metrics written here

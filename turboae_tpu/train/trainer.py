@@ -65,9 +65,17 @@ class Trainer:
 
     # -------------------------------------------------------------
     def _constrain(self, x):
+        """Shard the (B, L, C) batch over the mesh: 'batch' puts blocks on the
+        'data' axis (DP — blocks are independent); 'time' shards the block/time
+        axis (SP — the interleaver permutation lowers to an all-to-all and the
+        same-shape convs get GSPMD halo exchange; for very long blocks)."""
         if self.mesh is not None:
+            if self.cfg.shard_axis == 'time':
+                spec = P(None, 'data')
+            else:
+                spec = P('data')
             return jax.lax.with_sharding_constraint(
-                x, NamedSharding(self.mesh, P('data')))
+                x, NamedSharding(self.mesh, spec))
         return x
 
     def _sample_batch(self, key, mode, bits_key=None):
