@@ -40,6 +40,9 @@ def main(argv=None):
     print('[ID]', ident)
     print(cfg)
 
+    from ..utils.logging import MetricsLogger
+    metrics = MetricsLogger(cfg.log_jsonl or None)
+
     from ..dist.mesh import make_mesh
     from ..train.trainer import Trainer
     from ..train.checkpoint import save_checkpoint, load_checkpoint
@@ -54,13 +57,14 @@ def main(argv=None):
     # alternating training schedule (reference main.py:220-237)
     for epoch in range(1, cfg.num_epoch + 1):
         if cfg.joint_train:
-            trainer.train_epoch(epoch, 'joint')
+            loss = trainer.train_epoch(epoch, 'joint')
         else:
             for _ in range(cfg.num_train_enc):
-                trainer.train_epoch(epoch, 'encoder')
+                loss = trainer.train_epoch(epoch, 'encoder')
             for _ in range(cfg.num_train_dec):
-                trainer.train_epoch(epoch, 'decoder')
-        trainer.validate()
+                loss = trainer.train_epoch(epoch, 'decoder')
+        bce, ber = trainer.validate()
+        metrics.log('epoch', epoch=epoch, loss=loss, val_bce=bce, val_ber=ber)
 
     if cfg.num_epoch > 0:
         os.makedirs('./tmp', exist_ok=True)
@@ -68,7 +72,9 @@ def main(argv=None):
         save_checkpoint(ckpt, trainer.params, trainer.opt_state)
         print('saved model', ckpt)
 
-    trainer.test()
+    snrs, ber, bler = trainer.test()
+    metrics.log('test', snrs=snrs, ber=ber, bler=bler)
+    metrics.close()
 
     # variable-block-len: also test at low/high lengths (reference main.py:251-257)
     if cfg.is_variable_block_len:

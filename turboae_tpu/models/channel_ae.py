@@ -28,14 +28,18 @@ def make_perms(cfg, block_len: Optional[int] = None, seed: Optional[int] = None)
     seed overrides for the variable-block-len / random-interleaver paths.
     """
     import numpy as np
-    from ..ops.interleave import rand_perm
+    from numpy.random import mtrand
     L = block_len or cfg.block_len
     if cfg.is_interleave == 0:
         p1 = p2 = np.arange(L)
     else:
+        # p_array1 and p_array2 are CONSECUTIVE draws from one RandomState
+        # (reference main.py:123-127) — p2 is the second permutation from the
+        # same seed, not a different seed's first
         s = 0 if seed is None else seed
-        p1 = rand_perm(L, s)
-        p2 = rand_perm(L, s + 1)  # second permutation for 2-interleaver models
+        rand_gen = mtrand.RandomState(s)
+        p1 = rand_gen.permutation(np.arange(L))
+        p2 = rand_gen.permutation(np.arange(L))
     return {'p1': jnp.asarray(p1), 'p2': jnp.asarray(p2)}
 
 
