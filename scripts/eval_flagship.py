@@ -40,9 +40,21 @@ def main():
     blocks = args.num_block * args.snr_points * 2  # main + punctured pass
     print(f'eval: {blocks} blocks in {dt:.1f}s ({blocks / dt:.0f} blk/s)')
 
+    # 95% Wilson confidence intervals on each BER point
+    import math
+    n_bits = args.num_block * cfg.block_len
+    z = 1.96
+    ci = []
+    for p_hat in ber:
+        denom = 1 + z * z / n_bits
+        center = (p_hat + z * z / (2 * n_bits)) / denom
+        half = z * math.sqrt(max(p_hat * (1 - p_hat) / n_bits, 0) +
+                             z * z / (4 * n_bits * n_bits)) / denom
+        ci.append([max(center - half, 0.0), center + half])
+
     os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
     with open(args.out, 'w') as f:
-        json.dump({'snr': snrs, 'ber': ber, 'bler': bler,
+        json.dump({'snr': snrs, 'ber': ber, 'bler': bler, 'ber_ci95': ci,
                    'num_block': args.num_block, 'ckpt': args.ckpt,
                    'eval_blocks_per_s': blocks / dt}, f, indent=1)
     print('wrote', args.out)

@@ -12,3 +12,4 @@ from .channels import corrupt_signal, awgn, bsc, bec, get_test_sigmas  # noqa: F
 from .modem import PSKModem, QAMModem, ofdm_tx, ofdm_rx, mimo_ml  # noqa: F401
 from .dsp import (rcosfilter, rrcosfilter, gaussianfilter, rectfilter,  # noqa: F401
                   pnsequence, zcsequence, add_frequency_offset)
+from .utilities import hamming_dist, euclid_dist, upsample, dec2bitarray, bitarray2dec  # noqa: F401
