@@ -29,6 +29,12 @@ def main():
     p.add_argument('--metrics', default='logs/flagship.jsonl')
     p.add_argument('--resume', default='')
     p.add_argument('--train_channel_mode', default='block_norm')
+    p.add_argument('--loss', default='bce',
+                   help='bce | maxBCE (the published 114255 run fine-tuned '
+                        'with maxBCE)')
+    p.add_argument('--enc_lr', type=float, default=0.001)
+    p.add_argument('--dec_lr', type=float, default=0.001)
+    p.add_argument('--dtype', default='float32')
     p.add_argument('--num_train_enc', type=int, default=1)
     p.add_argument('--num_train_dec', type=int, default=5)
     p.add_argument('--ckpt_every', type=int, default=10)
@@ -49,7 +55,9 @@ def main():
                  num_block=args.num_block,
                  train_channel_mode=args.train_channel_mode,
                  num_train_enc=args.num_train_enc,
-                 num_train_dec=args.num_train_dec)
+                 num_train_dec=args.num_train_dec,
+                 loss=args.loss, enc_lr=args.enc_lr, dec_lr=args.dec_lr,
+                 dtype=args.dtype)
     trainer = Trainer(cfg)
     metrics = MetricsLogger(args.metrics)
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from .gfields import GF
-from .trellis import dec2bitarray, bitarray2dec
+from .trellis import dec2bitarray
 
 
 def _polymul_gf2(a: int, b: int) -> int:

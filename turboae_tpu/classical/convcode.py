@@ -20,7 +20,7 @@ from typing import Optional
 
 import numpy as np
 
-from .trellis import Trellis, dec2bitarray, bitarray2dec
+from .trellis import Trellis, dec2bitarray
 
 
 # ---------------------------------------------------------------------------

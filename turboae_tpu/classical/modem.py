@@ -13,7 +13,7 @@ from itertools import product
 
 import numpy as np
 
-from .trellis import bitarray2dec, dec2bitarray
+from .trellis import dec2bitarray
 
 
 class Modem:

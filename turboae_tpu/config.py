@@ -9,8 +9,8 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 ENCODERS = (
     'Turboae_rate3_rnn',        # rate 1/3, GRU/LSTM branches (reference encoders.py:231)

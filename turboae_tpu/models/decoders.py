@@ -23,7 +23,7 @@ from jax import lax
 from ..ops import conv1d as cv
 from ..ops import gru as rnn
 from ..ops.activations import activation
-from ..ops.interleave import interleave, deinterleave, invert_perm, interleave_2d, deinterleave_2d
+
 
 Params = Any
 

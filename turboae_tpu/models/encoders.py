@@ -24,9 +24,8 @@ import jax.numpy as jnp
 from ..ops import conv1d as cv
 from ..ops import gru as rnn
 from ..ops.activations import activation
-from ..ops.interleave import interleave, interleave_2d
-from ..ops.power import power_constraint, init_norm_stats
-from .. import config as cfgmod
+from ..ops.interleave import interleave
+from ..ops.power import power_constraint
 
 Params = Any
 

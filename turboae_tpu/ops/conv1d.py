@@ -16,7 +16,7 @@ preferred_element_type.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

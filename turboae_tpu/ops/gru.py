@@ -13,7 +13,7 @@ n-gate uses r * (h @ W_hn + b_hn)) so torch checkpoints can be transliterated.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any
 
 import jax
 import jax.numpy as jnp

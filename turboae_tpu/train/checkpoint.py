@@ -9,7 +9,7 @@ resume; loading tolerates architecture drift by merging only matching leaves
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
