@@ -216,8 +216,11 @@ def make_jax_encoder(trellis: Trellis, code_type: str = 'default'):
     import jax
     import jax.numpy as jnp
 
-    nst = jnp.asarray(trellis.next_state_table)
-    obits = jnp.asarray(trellis.output_bits())
+    # Tables stay NUMPY here: this factory may run inside an active jit trace
+    # (DeepTurbo's train step builds it lazily), where jnp.asarray would
+    # return tracers that outlive the trace once the closure is cached.
+    nst_np = np.asarray(trellis.next_state_table)
+    obits_np = np.asarray(trellis.output_bits())
     M = trellis.total_memory
     n = trellis.n
 
@@ -234,10 +237,9 @@ def make_jax_encoder(trellis: Trellis, code_type: str = 'default'):
                 term_inputs[s0, i] = tb[i]
                 term_states[s0, i] = s
                 s = trellis.next_state_table[s][tb[i]]
-        term_inputs = jnp.asarray(term_inputs)
-        term_states = jnp.asarray(term_states)
-
     def encode(msgs):
+        nst = jnp.asarray(nst_np)
+        obits = jnp.asarray(obits_np)
         B, L = msgs.shape
         if code_type == 'default':
             inb = jnp.concatenate([msgs, jnp.zeros((B, M), msgs.dtype)], axis=1)
@@ -257,8 +259,10 @@ def make_jax_encoder(trellis: Trellis, code_type: str = 'default'):
                 return nst[state, u], None
             final_state, _ = jax.lax.scan(fstep, jnp.zeros(B, jnp.int32),
                                           jnp.swapaxes(msgs, 0, 1).astype(jnp.int32))
-            term_out = obits[term_states[final_state].reshape(-1),
-                             term_inputs[final_state].reshape(-1)].reshape(B, M, n)
+            t_states = jnp.asarray(term_states)
+            t_inputs = jnp.asarray(term_inputs)
+            term_out = obits[t_states[final_state].reshape(-1),
+                             t_inputs[final_state].reshape(-1)].reshape(B, M, n)
             outs = jnp.concatenate([outs, term_out], axis=1)
         return outs.reshape(B, -1)
 

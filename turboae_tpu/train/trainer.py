@@ -52,9 +52,14 @@ class Trainer:
         self.opt_state = {'enc': self.opt_enc.init(self.params['enc']),
                           'dec': self.opt_dec.init(self.params['dec'])}
 
-        self._step_enc = jax.jit(partial(self._train_step, mode='encoder'))
-        self._step_dec = jax.jit(partial(self._train_step, mode='decoder'))
-        self._step_joint = jax.jit(partial(self._train_step, mode='joint'))
+        # donate params/opt_state so XLA updates them in place (no copy of the
+        # 31MB param tree per step)
+        self._step_enc = jax.jit(partial(self._train_step, mode='encoder'),
+                                 donate_argnums=(0, 1))
+        self._step_dec = jax.jit(partial(self._train_step, mode='decoder'),
+                                 donate_argnums=(0, 1))
+        self._step_joint = jax.jit(partial(self._train_step, mode='joint'),
+                                   donate_argnums=(0, 1))
         # variable-block-len: per-(mode, length) jitted steps, built lazily
         self._vbl_steps = {}
         self._vbl_perms = {}
@@ -161,7 +166,8 @@ class Trainer:
             seed = int(np.random.randint(0, max(1, self.cfg.is_interleave)))
             sub.perms = make_perms(cfg_l, block_len=block_len, seed=seed)
             self._vbl_perms[block_len] = sub.perms
-            self._vbl_steps[key] = jax.jit(partial(sub._train_step, mode=mode))
+            self._vbl_steps[key] = jax.jit(partial(sub._train_step, mode=mode),
+                                           donate_argnums=(0, 1))
         return self._vbl_steps[key]
 
     def train_epoch(self, epoch: int, mode: str = 'encoder', verbose: bool = True):
@@ -169,7 +175,10 @@ class Trainer:
         cfg = self.cfg
         num_batches = max(1, cfg.num_block // cfg.batch_size)
         start = time.time()
-        total = 0.0
+        # keep per-step losses on device and sync ONCE at epoch end: a
+        # float() per step would block dispatch on a host round trip (over
+        # the remote TPU tunnel that halves throughput)
+        losses = []
         if cfg.is_variable_block_len:
             buckets = self._vbl_buckets()
             for _ in range(num_batches):
@@ -178,7 +187,7 @@ class Trainer:
                 self.key, k = jax.random.split(self.key)
                 self.params, self.opt_state, loss = step(self.params,
                                                          self.opt_state, k)
-                total += float(loss)
+                losses.append(loss)
         else:
             step = {'encoder': self._step_enc, 'decoder': self._step_dec,
                     'joint': self._step_joint}[mode]
@@ -194,8 +203,8 @@ class Trainer:
                 else:
                     self.params, self.opt_state, loss = step(self.params,
                                                              self.opt_state, k)
-                total += float(loss)
-        avg = total / num_batches
+                losses.append(loss)
+        avg = float(jnp.mean(jnp.stack(losses)))
         if verbose:
             print(f'====> Epoch: {epoch} Average loss: {avg:.8f}  running time',
                   time.time() - start)
@@ -222,12 +231,13 @@ class Trainer:
         """Validation at the encoder-train SNR (reference trainer.py:88-132)."""
         cfg = self.cfg
         n = max(1, int(cfg.num_block / cfg.batch_size * cfg.test_ratio))
-        bce = custom = ber = 0.0
+        acc = []
         for _ in range(n):
             self.key, k = jax.random.split(self.key)
-            b, c, e = self._val(self.params, k)
-            bce += float(b); custom += float(c); ber += float(e)
-        bce /= n; custom /= n; ber /= n
+            acc.append(self._val(self.params, k))
+        bce = float(jnp.mean(jnp.stack([a[0] for a in acc])))
+        custom = float(jnp.mean(jnp.stack([a[1] for a in acc])))
+        ber = float(jnp.mean(jnp.stack([a[2] for a in acc])))
         if verbose:
             print('====> Test set BCE loss', bce, 'Custom Loss', custom,
                   'with ber ', ber)
@@ -343,17 +353,14 @@ class Trainer:
                 sigma = snr
             else:
                 sigma = M.snr_db2sigma(snr)
-            tb = tbl = 0.0
-            pos_ber = None
-            pw = None
+            acc = []
             for _ in range(num_batches):
                 self.key, k = jax.random.split(self.key)
-                ber, bler, pos, power = self._eval(self.params, k,
-                                                   jnp.float32(sigma))
-                tb += float(ber); tbl += float(bler)
-                pos_ber = pos if pos_ber is None else pos_ber + pos
-                pw = power if pw is None else pw + power
-            tb /= num_batches; tbl /= num_batches
+                acc.append(self._eval(self.params, k, jnp.float32(sigma)))
+            tb = float(jnp.mean(jnp.stack([a[0] for a in acc])))
+            tbl = float(jnp.mean(jnp.stack([a[1] for a in acc])))
+            pos_ber = sum(a[2] for a in acc)
+            pw = sum(a[3] for a in acc)
             pos_ber = np.asarray(pos_ber) / num_batches
             if cfg.print_pos_power and verbose:
                 print('code power', np.asarray(pw) / num_batches)
@@ -365,13 +372,13 @@ class Trainer:
             # punctured second pass (reference trainer.py:194-213)
             punc_mask = np.ones(cfg.block_len, np.float32)
             punc_mask[res_pos_arg[:cfg.num_ber_puncture]] = 0.0
-            tbp = tblp = 0.0
+            accp = []
             for _ in range(num_batches):
                 self.key, k = jax.random.split(self.key)
-                bp, blp = self._evalp(
-                    self.params, k, jnp.float32(sigma), jnp.asarray(punc_mask))
-                tbp += float(bp); tblp += float(blp)
-            tbp /= num_batches; tblp /= num_batches
+                accp.append(self._evalp(
+                    self.params, k, jnp.float32(sigma), jnp.asarray(punc_mask)))
+            tbp = float(jnp.mean(jnp.stack([a[0] for a in accp])))
+            tblp = float(jnp.mean(jnp.stack([a[1] for a in accp])))
 
             if verbose:
                 print('Test SNR', snr, 'with ber ', tb, 'with bler', tbl)
