@@ -41,6 +41,19 @@ def main():
     p.add_argument('--val_every', type=int, default=5)
     p.add_argument('--time_budget_s', type=float, default=0,
                    help='stop cleanly after this many seconds (0 = no limit)')
+    p.add_argument('--encoder', default='TurboAE_rate3_cnn',
+                   help='e.g. Turbo_rate3_757 for DeepTurbo')
+    p.add_argument('--decoder', default='TurboAE_rate3_cnn')
+    p.add_argument('--dec_num_layer', type=int, default=5)
+    p.add_argument('--train_enc_channel_low', type=float, default=1.0)
+    p.add_argument('--train_enc_channel_high', type=float, default=1.0)
+    p.add_argument('--fresh_opt', action='store_true',
+                   help='on resume, load params only and re-init the '
+                        'optimizer state (use when starting a new phase, '
+                        'e.g. the STE binarization fine-tune)')
+    p.add_argument('--start_epoch', type=int, default=-1,
+                   help='override the resumed epoch counter (new phases '
+                        'restart at 0)')
     args = p.parse_args()
 
     from turboae_tpu.config import Config
@@ -53,7 +66,12 @@ def main():
 
     cfg = Config(batch_size=args.batch_size, block_len=args.block_len,
                  num_block=args.num_block,
+                 encoder=args.encoder, decoder=args.decoder,
+                 dec_num_layer=args.dec_num_layer,
+                 train_enc_channel_low=args.train_enc_channel_low,
+                 train_enc_channel_high=args.train_enc_channel_high,
                  train_channel_mode=args.train_channel_mode,
+                 test_channel_mode=args.train_channel_mode,
                  num_train_enc=args.num_train_enc,
                  num_train_dec=args.num_train_dec,
                  loss=args.loss, enc_lr=args.enc_lr, dec_lr=args.dec_lr,
@@ -66,10 +84,15 @@ def main():
         loaded = load_checkpoint(args.resume, trainer.params,
                                  trainer.opt_state)
         if isinstance(loaded, tuple):
-            trainer.params, trainer.opt_state, start_epoch = loaded
+            if args.fresh_opt:
+                trainer.params = loaded[0]
+            else:
+                trainer.params, trainer.opt_state, start_epoch = loaded
         else:
             trainer.params = loaded
         print(f'resumed from {args.resume} at epoch {start_epoch}', flush=True)
+    if args.start_epoch >= 0:
+        start_epoch = args.start_epoch
 
     t_start = time.time()
     for epoch in range(start_epoch + 1, args.epochs + 1):
