@@ -22,6 +22,11 @@ def main():
     p.add_argument('--batch_size', type=int, default=2000)
     p.add_argument('--snr_points', type=int, default=12)
     p.add_argument('--out', default='logs/flagship_eval.json')
+    p.add_argument('--encoder', default='TurboAE_rate3_cnn',
+                   help='e.g. Turbo_rate3_757 for DeepTurbo checkpoints')
+    p.add_argument('--decoder', default='TurboAE_rate3_cnn')
+    p.add_argument('--test_channel_mode', default='block_norm',
+                   help='block_norm_ste for TurboAE-binary checkpoints')
     args = p.parse_args()
 
     from turboae_tpu.config import Config
@@ -29,6 +34,8 @@ def main():
     from turboae_tpu.train.checkpoint import load_checkpoint
 
     cfg = Config(batch_size=args.batch_size, num_block=args.num_block,
+                 encoder=args.encoder, decoder=args.decoder,
+                 test_channel_mode=args.test_channel_mode,
                  snr_points=args.snr_points)
     trainer = Trainer(cfg)
     trainer.params = load_checkpoint(args.ckpt, trainer.params)
