@@ -45,8 +45,8 @@ def test_sharded_eval_matches():
     tr8 = Trainer(cfg, mesh=make_mesh((8,)))
     tr8.params = tr1.params
     k = jax.random.PRNGKey(7)
-    b1 = tr1._eval(tr1.params, k, jnp.float32(0.7))
-    b8 = tr8._eval(tr8.params, k, jnp.float32(0.7))
+    b1, _ = tr1._eval(tr1.params, k, jnp.float32(0.7))
+    b8, _ = tr8._eval(tr8.params, k, jnp.float32(0.7))
     np.testing.assert_allclose(float(b1[0]), float(b8[0]), atol=1e-6)
     np.testing.assert_allclose(float(b1[1]), float(b8[1]), atol=1e-6)
 

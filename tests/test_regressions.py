@@ -1,0 +1,121 @@
+"""Regression tests for bugs found in review (round 1).
+
+Each test pins a specific fixed failure mode; see the commit that added this
+file for the inventory.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from turboae_tpu.config import Config
+
+
+def _tiny_cfg(**kw):
+    base = dict(num_block=32, batch_size=16, block_len=16, enc_num_unit=8,
+                dec_num_unit=8, enc_num_layer=1, dec_num_layer=1,
+                num_iteration=2, snr_points=2)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_lookahead_trainer_step_with_donation():
+    """Lookahead's slow weights must be copies, not aliases, of the params:
+    the trainer donates params AND opt_state to the same jitted step, and XLA
+    rejects donating one buffer twice."""
+    from turboae_tpu.train.trainer import Trainer
+    cfg = _tiny_cfg(optimizer='lookahead')
+    tr = Trainer(cfg)
+    before = jax.tree.leaves(tr.params)[0].copy()
+    loss = tr.train_epoch(1, 'decoder', verbose=False)  # would raise pre-fix
+    assert np.isfinite(loss)
+    after = jax.tree.leaves(tr.params)[0]
+    assert not np.allclose(before, after)  # params actually moved
+
+
+def test_jax_standard_turbo_decoder_matches_host_oracle():
+    """variant='standard' must decide from decoder 2's posterior of the FINAL
+    iteration (not run an extra hidden iteration)."""
+    from turboae_tpu.classical.trellis import turbo757_trellis
+    from turboae_tpu.classical.interleavers import RandInterlv
+    from turboae_tpu.classical.turbo import (turbo_encode_batch, turbo_decode,
+                                             make_jax_turbo_decoder)
+    t = turbo757_trellis()
+    L, B = 40, 6
+    inter = RandInterlv(L, 0)
+    rng = np.random.RandomState(11)
+    msgs = rng.randint(0, 2, (B, L))
+    codes = turbo_encode_batch(msgs, t, inter.p_array)
+    sigma = 10 ** (-0.0 / 20)  # 0 dB: noisy enough that iteration count shows
+    rx = 2.0 * codes - 1.0 + sigma * rng.randn(B, L, 3)
+
+    dec_np = np.stack([
+        turbo_decode(rx[i, :, 0], rx[i, :, 1], rx[i, :, 2], t, sigma ** 2,
+                     3, inter)
+        for i in range(B)])
+    jdec = make_jax_turbo_decoder(t, inter.p_array, 3, 'standard')
+    dec_jax = np.asarray(jdec(jnp.asarray(rx[:, :, 0]),
+                              jnp.asarray(rx[:, :, 1]),
+                              jnp.asarray(rx[:, :, 2]), sigma ** 2))
+    assert np.mean(dec_np == dec_jax) > 0.995
+
+
+def test_checkpoint_tolerates_shorter_saved_lists(tmp_path):
+    """strict=False analog: resuming a dec_num_layer=1 checkpoint into a
+    dec_num_layer=2 model keeps the template leaves for the missing tail."""
+    from turboae_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+    from turboae_tpu.models.channel_ae import init_ae
+    key = jax.random.PRNGKey(0)
+    small = init_ae(key, _tiny_cfg(dec_num_layer=1))
+    big_tpl = init_ae(key, _tiny_cfg(dec_num_layer=2))
+    path = str(tmp_path / 'ck.msgpack')
+    save_checkpoint(path, small)
+    merged = load_checkpoint(path, big_tpl)  # KeyError pre-fix
+    # merged keeps the big template's structure
+    assert (jax.tree.structure(merged) == jax.tree.structure(big_tpl))
+
+
+def test_precompute_norm_stats_changes_eval_normalization():
+    """-precompute_norm_stats must actually be consumed by the eval path
+    (reference encoders.py:110-114 normalizes with the running stats)."""
+    from turboae_tpu.train.trainer import Trainer
+    cfg = _tiny_cfg(precompute_norm_stats=True)
+    tr = Trainer(cfg)
+    _, stats = tr._eval_step(tr.params, jax.random.PRNGKey(1),
+                             jnp.float32(0.8), tr.precompute_norm_stats())
+    # the eval batch incremented the running-average count
+    assert float(stats.count) == float(tr.norm_stats.count) + 1.0
+    snrs, ber, bler = tr.test(verbose=False)
+    assert all(np.isfinite(b) for b in ber)
+
+
+def test_mse_loss_finite_at_saturated_output():
+    from turboae_tpu.train.losses import customized_loss
+    cfg = Config(loss='mse')
+    out = jnp.asarray([[[0.0], [1.0], [0.5]]])  # exact 0/1: -inf logit pre-fix
+    tgt = jnp.asarray([[[0.0], [1.0], [1.0]]])
+    loss = customized_loss(out, tgt, cfg)
+    assert np.isfinite(float(loss))
+
+
+def test_variable_block_len_schedule_is_seeded():
+    """Two trainers with the same cfg.seed must draw identical length
+    schedules and interleaver seeds (reproducibility contract)."""
+    from turboae_tpu.train.trainer import Trainer
+    cfg = _tiny_cfg(is_variable_block_len=True, block_len_low=8,
+                    block_len_high=24)
+    t1, t2 = Trainer(cfg), Trainer(cfg)
+    b = t1._vbl_buckets()
+    draws1 = [int(t1._np_rng.choice(b)) for _ in range(10)]
+    draws2 = [int(t2._np_rng.choice(b)) for _ in range(10)]
+    assert draws1 == draws2
+
+
+def test_2d_encoder_uses_cfg_img_size():
+    """Encoder and decoder halves must agree on the image size (cfg.img_size,
+    like the reference's -img_size flag), not isqrt(block_len)."""
+    from turboae_tpu.models.encoders import _img
+    cfg = _tiny_cfg(block_len=64, img_size=8)
+    assert _img(cfg) == 8
+    # non-square block_len with explicit img_size: _img must follow the flag
+    cfg2 = _tiny_cfg(block_len=60, img_size=6)
+    assert _img(cfg2) == 6

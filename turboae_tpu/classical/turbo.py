@@ -130,7 +130,7 @@ def make_jax_turbo_decoder(trellis: Trellis, p_array, number_iterations: int,
         weighted_sys = 2.0 * sys_symbols / noise_variance
 
         def body(carry, _):
-            L_int_1, L_ext_1_prev = carry
+            L_int_1, L_ext_1_prev, _ = carry
             L_post_1 = map_dec(sys_symbols, par1, noise_variance, L_int_1)
             if variant == 'hazzys':
                 L_ext_1 = L_post_1 - L_int_1 - weighted_sys
@@ -142,19 +142,18 @@ def make_jax_turbo_decoder(trellis: Trellis, p_array, number_iterations: int,
             new_L_int_1 = L_ext_2[:, inv]
             if variant == 'hazzys':
                 new_L_int_1 = new_L_int_1 - weighted_sys
-            return (new_L_int_1, L_ext_1), None
+            return (new_L_int_1, L_ext_1, L_post_2), None
 
-        (L_int_1, L_ext_1), _ = jax.lax.scan(
-            body, (L_int_1, jnp.zeros((B, L))), None, length=number_iterations)
+        (L_int_1, L_ext_1, L_post_2), _ = jax.lax.scan(
+            body, (L_int_1, jnp.zeros((B, L)), jnp.zeros((B, L))), None,
+            length=number_iterations)
 
         if variant == 'hazzys':
             return (L_ext_1 + L_int_1 + weighted_sys > 0).astype(jnp.int32)
-        # standard: decision from the final full posterior of decoder 2,
-        # deinterleaved — recompute cheaply:
-        L_post_1 = map_dec(sys_symbols, par1, noise_variance, L_int_1)
-        L_ext_1f = L_post_1 - L_int_1
-        L_int_2 = L_ext_1f[:, p]
-        L_post_2 = map_dec(sys_i, par2, noise_variance, L_int_2)
+        # standard: decision from decoder 2's posterior of the FINAL
+        # iteration, deinterleaved (host turbo_decode above / reference
+        # turbo.py:320-341) — carried out of the scan, not recomputed (an
+        # extra map_dec pair would be an N+1-th iteration)
         return (L_post_2[:, inv] > 0).astype(jnp.int32)
 
     return decode

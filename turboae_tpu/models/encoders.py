@@ -265,8 +265,9 @@ def rate2rnn_apply(params, cfg, x, perms, training=True, stats=None):
 # ------------------------------------------------------------------
 
 def _img(cfg):
-    import math
-    return int(math.isqrt(cfg.block_len))
+    # cfg.img_size, like the decoders and the reference (-img_size flag,
+    # get_args.py:128) — NOT derived from block_len, which need not be square
+    return cfg.img_size
 
 
 def cnn2d_branch_init(key, cfg, dense: bool):

@@ -46,8 +46,12 @@ def load_checkpoint(path: str, params_template: Any,
             return {k: merge(tpl[k], got[k]) if k in got else tpl[k] for k in tpl}
         if isinstance(tpl, (list, tuple)) and isinstance(got, (list, dict)):
             if isinstance(got, dict):  # msgpack may dict-ify lists
-                got = [got[str(i)] if str(i) in got else got[i] for i in range(len(tpl))]
-            out = [merge(t, g) for t, g in zip(tpl, got)]
+                got = [got.get(str(i)) for i in range(len(tpl))]
+            # shorter saved list (architecture drift): keep template leaves
+            # for the missing tail instead of raising
+            got = list(got) + [None] * (len(tpl) - len(got))
+            out = [t if g is None else merge(t, g)
+                   for t, g in zip(tpl, got)]
             return type(tpl)(out) if isinstance(tpl, tuple) else out
         try:
             if np.shape(tpl) == np.shape(got):

@@ -49,7 +49,10 @@ def customized_loss(output, x_train, cfg, code=None):
         return jnp.mean(cfg.focal_alpha * (1 - pt) ** cfg.focal_gamma * bce)
 
     if loss_name == 'mse':
-        logit = jnp.log(output / (1.0 - output + _EPS))
+        # clip both tails: output==0.0 would give log(0) = -inf (same
+        # saturation failure as BCE — see _bce_elementwise)
+        o = jnp.clip(output, _EPS, 1.0 - _EPS)
+        logit = jnp.log(o / (1.0 - o))
         return jnp.mean((logit - x_train) ** 2)
 
     if loss_name == 'maxBCE':

@@ -20,8 +20,11 @@ import optax
 def lookahead(inner: optax.GradientTransformation, k: int = 5,
               alpha: float = 0.5) -> optax.GradientTransformation:
     def init(params):
+        # slow weights must be COPIES: jnp.asarray would alias the param
+        # buffers, and the trainer donates params and opt_state to the same
+        # jitted step (donating one buffer twice is an XLA error)
         return {'inner': inner.init(params),
-                'slow': jax.tree.map(jnp.asarray, params),
+                'slow': jax.tree.map(lambda x: jnp.array(x, copy=True), params),
                 'count': jnp.zeros((), jnp.int32)}
 
     def update(updates, state, params=None):

@@ -46,6 +46,9 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key = jax.random.split(key)
         self.params = init_ae(init_key, cfg)
+        # host-side RNG for variable-block-len schedules / interleaver seeds:
+        # seeded so runs with the same cfg.seed are reproducible
+        self._np_rng = np.random.RandomState(cfg.seed)
 
         self.opt_enc = make_optimizer(cfg, cfg.enc_lr)
         self.opt_dec = make_optimizer(cfg, cfg.dec_lr)
@@ -163,7 +166,7 @@ class Trainer:
             # (identical distribution over training, static under jit)
             sub.perms = None
             from ..models.channel_ae import make_perms
-            seed = int(np.random.randint(0, max(1, self.cfg.is_interleave)))
+            seed = int(self._np_rng.randint(0, max(1, self.cfg.is_interleave)))
             sub.perms = make_perms(cfg_l, block_len=block_len, seed=seed)
             self._vbl_perms[block_len] = sub.perms
             self._vbl_steps[key] = jax.jit(partial(sub._train_step, mode=mode),
@@ -182,7 +185,7 @@ class Trainer:
         if cfg.is_variable_block_len:
             buckets = self._vbl_buckets()
             for _ in range(num_batches):
-                L = int(np.random.choice(buckets))
+                L = int(self._np_rng.choice(buckets))
                 step = self._vbl_step(mode, L)
                 self.key, k = jax.random.split(self.key)
                 self.params, self.opt_state, loss = step(self.params,
@@ -244,10 +247,13 @@ class Trainer:
         return bce, ber
 
     # -------------------------------------------------------------
-    def _eval_step(self, params, key, sigma):
+    def _eval_step(self, params, key, sigma, stats=None):
         """One test batch at a given noise sigma. sigma is a traced scalar so
         the whole SNR sweep reuses ONE compiled program (the reference
-        recompiles nothing but pays per-batch host RNG + transfers instead)."""
+        recompiles nothing but pays per-batch host RNG + transfers instead).
+
+        `stats` threads the precomputed-norm running average through the sweep
+        (reference encoders.py:110-114 keeps accumulating during test)."""
         cfg = self.cfg
         k_bits, k_noise, k_fwd = jax.random.split(key, 3)
         bits = self._constrain(_sample_bits(
@@ -256,12 +262,12 @@ class Trainer:
         noise = self._constrain(sample_noise(
             k_noise, (cfg.batch_size, cfg.block_len, cfg.code_rate_n),
             spec_from_cfg(cfg), sigma))
-        out, code, _ = forward_ae(params, cfg, k_fwd, bits, noise, self.perms,
-                                  training=False)
+        out, code, stats = forward_ae(params, cfg, k_fwd, bits, noise,
+                                      self.perms, training=False, stats=stats)
         return (M.errors_ber(bits, out), M.errors_bler(bits, out),
-                M.errors_ber_pos(bits, out), M.code_power(code))
+                M.errors_ber_pos(bits, out), M.code_power(code)), stats
 
-    def _eval_punc(self, params, key, sigma, punc_mask):
+    def _eval_punc(self, params, key, sigma, punc_mask, stats=None):
         """Punctured-metric eval batch (reference trainer.py:194-213)."""
         cfg = self.cfg
         k_bits, k_noise, k_fwd = jax.random.split(key, 3)
@@ -271,10 +277,10 @@ class Trainer:
         noise = self._constrain(sample_noise(
             k_noise, (cfg.batch_size, cfg.block_len, cfg.code_rate_n),
             spec_from_cfg(cfg), sigma))
-        out, _, _ = forward_ae(params, cfg, k_fwd, bits, noise, self.perms,
-                               training=False)
+        out, _, stats = forward_ae(params, cfg, k_fwd, bits, noise, self.perms,
+                                   training=False, stats=stats)
         return (M.errors_ber_punctured(bits, out, punc_mask),
-                M.errors_bler(bits, out, punc_mask))
+                M.errors_bler(bits, out, punc_mask)), stats
 
     def precompute_norm_stats(self):
         """Run the encoder over random bits accumulating running mean/std
@@ -323,7 +329,7 @@ class Trainer:
             total += float(enc_std(self.params, k))
         return total / num_batches
 
-    def test(self, block_len=None, verbose: bool = True):
+    def test(self, verbose: bool = True):
         """SNR sweep -> (snrs, ber, bler) (reference trainer.py:135-248).
 
         Implements the FIXED post-2022 noise semantics: fresh noise per batch at
@@ -334,8 +340,10 @@ class Trainer:
         """
         import numpy as np
         cfg = self.cfg
-        if cfg.precompute_norm_stats:
-            self.precompute_norm_stats()
+        # running-average norm stats: seeded by the precompute pass, then kept
+        # accumulating through the sweep (reference encoders.py:110-114)
+        stats = self.precompute_norm_stats() if cfg.precompute_norm_stats \
+            else None
         num_batches = max(1, cfg.num_block // cfg.batch_size)
         interval = (cfg.snr_test_end - cfg.snr_test_start) / (cfg.snr_points - 1)
         snrs = [cfg.snr_test_start + interval * i for i in range(cfg.snr_points)]
@@ -356,7 +364,9 @@ class Trainer:
             acc = []
             for _ in range(num_batches):
                 self.key, k = jax.random.split(self.key)
-                acc.append(self._eval(self.params, k, jnp.float32(sigma)))
+                a, stats = self._eval(self.params, k, jnp.float32(sigma),
+                                      stats)
+                acc.append(a)
             tb = float(jnp.mean(jnp.stack([a[0] for a in acc])))
             tbl = float(jnp.mean(jnp.stack([a[1] for a in acc])))
             pos_ber = sum(a[2] for a in acc)
@@ -375,8 +385,10 @@ class Trainer:
             accp = []
             for _ in range(num_batches):
                 self.key, k = jax.random.split(self.key)
-                accp.append(self._evalp(
-                    self.params, k, jnp.float32(sigma), jnp.asarray(punc_mask)))
+                ap, stats = self._evalp(
+                    self.params, k, jnp.float32(sigma),
+                    jnp.asarray(punc_mask), stats)
+                accp.append(ap)
             tbp = float(jnp.mean(jnp.stack([a[0] for a in accp])))
             tblp = float(jnp.mean(jnp.stack([a[1] for a in accp])))
 
