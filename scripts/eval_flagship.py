@@ -27,7 +27,19 @@ def main():
     p.add_argument('--decoder', default='TurboAE_rate3_cnn')
     p.add_argument('--test_channel_mode', default='block_norm',
                    help='block_norm_ste for TurboAE-binary checkpoints')
+    p.add_argument('--block_len', type=int, default=100,
+                   help='must match the training block_len (the interleaver '
+                        'permutation depends on it; conv params load either '
+                        'way so a mismatch would be SILENTLY wrong)')
+    p.add_argument('--dec_num_layer', type=int, default=5)
+    p.add_argument('--dtype', default='float32')
     args = p.parse_args()
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     from turboae_tpu.config import Config
     from turboae_tpu.train.trainer import Trainer
@@ -36,6 +48,8 @@ def main():
     cfg = Config(batch_size=args.batch_size, num_block=args.num_block,
                  encoder=args.encoder, decoder=args.decoder,
                  test_channel_mode=args.test_channel_mode,
+                 block_len=args.block_len, dec_num_layer=args.dec_num_layer,
+                 dtype=args.dtype,
                  snr_points=args.snr_points)
     trainer = Trainer(cfg)
     trainer.params = load_checkpoint(args.ckpt, trainer.params)
@@ -44,12 +58,16 @@ def main():
     t0 = time.time()
     snrs, ber, bler = trainer.test(verbose=True)
     dt = time.time() - t0
-    blocks = args.num_block * args.snr_points * 2  # main + punctured pass
+    # test() runs num_block//batch_size batches per SNR point, twice
+    # (main + punctured pass); the encoder_power pass at the end is excluded
+    blocks = (args.num_block // args.batch_size) * args.batch_size \
+        * args.snr_points * 2
     print(f'eval: {blocks} blocks in {dt:.1f}s ({blocks / dt:.0f} blk/s)')
 
     # 95% Wilson confidence intervals on each BER point
     import math
-    n_bits = args.num_block * cfg.block_len
+    n_bits = (args.num_block // args.batch_size) * args.batch_size \
+        * cfg.block_len
     z = 1.96
     ci = []
     for p_hat in ber:

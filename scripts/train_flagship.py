@@ -56,6 +56,12 @@ def main():
                         'restart at 0)')
     args = p.parse_args()
 
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
     from turboae_tpu.config import Config
     from turboae_tpu.train.trainer import Trainer
     from turboae_tpu.train.checkpoint import save_checkpoint, load_checkpoint

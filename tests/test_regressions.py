@@ -119,3 +119,43 @@ def test_2d_encoder_uses_cfg_img_size():
     # non-square block_len with explicit img_size: _img must follow the flag
     cfg2 = _tiny_cfg(block_len=60, img_size=6)
     assert _img(cfg2) == 6
+
+
+def test_windowed_viterbi_traceback():
+    """tb_depth must actually constrain the traceback (low-latency llcode
+    variant): a generous window matches full traceback; the flag is consumed."""
+    from turboae_tpu.classical.trellis import Trellis
+    from turboae_tpu.classical.convcode import conv_encode, viterbi_decode
+    t = Trellis(np.array([2]), np.array([[7, 5]]))
+    rng = np.random.RandomState(3)
+    msg = rng.randint(0, 2, 50)
+    coded = conv_encode(msg, t)
+    rx = 2.0 * coded - 1.0 + 0.4 * rng.randn(len(coded))
+    full = viterbi_decode(rx, t, decoding_type='unquantized')
+    windowed = viterbi_decode(rx, t, tb_depth=15, decoding_type='unquantized')
+    assert np.array_equal(full[:50], windowed[:50])  # 15 >= 5*M: same result
+    tight = viterbi_decode(rx, t, tb_depth=2, decoding_type='unquantized')
+    assert tight.shape == full.shape  # runs; (quality may degrade)
+
+
+def test_conv_benchmark_bsc_probability_semantics():
+    """-channel bsc sweeps the flip PROBABILITY (not the awgn sigma formula,
+    which crashes for snr<0 and flips every bit at snr=0)."""
+    from turboae_tpu.cli import conv_benchmark as cb
+    snrs, bers, _ = cb.main(['-channel', 'bsc', '-decoding_type', 'hard',
+                             '-num_block', '200', '-block_len', '40',
+                             '-snr_test_start', '0.05', '-snr_test_end', '0.01',
+                             '-snr_points', '2', '-engine', 'numpy'])
+    assert bers[0] > bers[1]  # higher flip prob -> worse BER
+    assert bers[1] < 0.01     # p=0.01 is very decodable at rate 1/2
+
+
+def test_conv_benchmark_fair_zeroes_full_tail():
+    """-fair must zero all n*M tail symbols at rate 1/3 (n=3), not 2*M."""
+    from turboae_tpu.cli import conv_benchmark as cb
+    snrs, bers, _ = cb.main(['-enc1', '7', '-enc2', '5', '-enc3', '7',
+                             '-fair', '1', '-num_block', '100',
+                             '-block_len', '40', '-snr_test_start', '2.0',
+                             '-snr_test_end', '2.0', '-snr_points', '1',
+                             '-engine', 'numpy'])
+    assert bers[0] < 0.05  # still decodes fine with the tail zeroed

@@ -181,6 +181,8 @@ def viterbi_decode(coded_bits: np.ndarray, trellis: Trellis,
     pm[0] = 0.0
     bp_state = np.zeros((T, S), 'int')
     bp_input = np.zeros((T, S), 'int')
+    pms = np.zeros((T + 1, S))  # path metrics after each step (for windowed tb)
+    pms[0] = pm
 
     for t in range(T):
         r = coded[t * n:(t + 1) * n]
@@ -197,6 +199,22 @@ def viterbi_decode(coded_bits: np.ndarray, trellis: Trellis,
             bp_state[t, s] = pred_state[s][best]
             bp_input[t, s] = pred_input[s][best]
         pm = new_pm
+        pms[t + 1] = pm
+
+    if tb_depth is not None and 0 < tb_depth < T:
+        # low-latency windowed traceback (reference conv_codes_llcode.py):
+        # the bit at time t is decided by tracing back tb_depth steps from
+        # the best state at time t+tb_depth (state 0 once the window reaches
+        # the terminated end)
+        decoded = np.zeros(T, 'int')
+        for t in range(T):
+            end = min(t + tb_depth, T)
+            state = 0 if end == T else int(np.argmin(pms[end]))
+            for tt in range(end - 1, t - 1, -1):
+                bit = bp_input[tt, state]
+                state = bp_state[tt, state]
+            decoded[t] = bit
+        return decoded[:L]
 
     # force back to state 0 at the end like the reference (convcode.py:653-655)
     state = 0

@@ -69,6 +69,12 @@ def run(args):
     rng = np.random.RandomState(args.seed)
     np.random.seed(args.seed)
 
+    if args.tb_depth and args.engine != 'numpy':
+        # only the numpy host decoder implements windowed traceback; the
+        # native/jax engines are full-traceback (ML)
+        print(f'[conv_benchmark] -tb_depth {args.tb_depth}: using numpy engine')
+        args.engine = 'numpy'
+
     jdec = None
     if args.engine == 'jax':
         import jax
@@ -79,7 +85,13 @@ def run(args):
     bers, blers = [], []
 
     for snr in snrs:
-        sigma = 10 ** (-snr / 20.0)
+        if args.channel == 'bsc':
+            # the swept value IS the flip probability (trainer.test()
+            # semantics); the reference benchmark feeds the awgn sigma
+            # formula into np.random.choice's p= and crashes for snr<0
+            sigma = snr
+        else:
+            sigma = 10 ** (-snr / 20.0)
         t0 = time.time()
         msgs = rng.randint(0, 2, (args.num_block, args.block_len))
         coded = conv_encode_batch(msgs, trellis, args.code_type)
@@ -91,9 +103,13 @@ def run(args):
             # hard decisions back to bits for hard decoding
             rx = (rx > 0).astype(float)
         if args.fair:
-            # zero the 2M tail symbols (relay_conv_codes_benchmark.py 'fair')
+            # zero ALL n*M tail coded symbols (the termination bits), making
+            # the (L, n*(L+M)) code comparable to an unterminated (L, n*L)
+            # neural decoder. The reference hard-codes 2*M
+            # (relay_conv_codes_benchmark.py:110) which is the full tail only
+            # at rate 1/2; for -enc3/-enc4 rates that under-zeroes.
             rx = rx.reshape(args.num_block, -1)
-            rx[:, -2 * M:] = 0.0
+            rx[:, -n * M:] = 0.0
             rx = rx.reshape(args.num_block, T, n)
 
         if args.engine == 'jax':
@@ -111,8 +127,10 @@ def run(args):
                         break
                     dec[i] = d
             if not native_ok:
+                tb = args.tb_depth if args.tb_depth else None
                 for i in range(args.num_block):
                     dec[i] = viterbi_decode(rx[i].reshape(-1), trellis,
+                                            tb_depth=tb,
                                             decoding_type=args.decoding_type)
 
         err = dec[:, :args.block_len] != msgs

@@ -23,20 +23,17 @@ def main(argv=None):
     os.makedirs('./logs', exist_ok=True)
     log_path = f'./logs/{ident}_log.txt'
 
-    class Tee:
-        def __init__(self, path):
-            self.terminal = sys.stdout
-            self.log = open(path, 'w')
+    from ..utils.logging import Tee
+    tee = Tee(log_path)
+    prev_stdout, sys.stdout = sys.stdout, tee
+    try:
+        return _run(cfg, ident)
+    finally:
+        sys.stdout = prev_stdout
+        tee.log.close()
 
-        def write(self, msg):
-            self.terminal.write(msg)
-            self.log.write(msg)
 
-        def flush(self):
-            self.terminal.flush()
-            self.log.flush()
-
-    sys.stdout = Tee(log_path)
+def _run(cfg, ident):
     print('[ID]', ident)
     print(cfg)
 
@@ -56,6 +53,7 @@ def main(argv=None):
 
     # alternating training schedule (reference main.py:220-237)
     for epoch in range(1, cfg.num_epoch + 1):
+        loss = float('nan')  # stays nan if both phase counts are 0
         if cfg.joint_train:
             loss = trainer.train_epoch(epoch, 'joint')
         else:

@@ -345,7 +345,8 @@ class Trainer:
         stats = self.precompute_norm_stats() if cfg.precompute_norm_stats \
             else None
         num_batches = max(1, cfg.num_block // cfg.batch_size)
-        interval = (cfg.snr_test_end - cfg.snr_test_start) / (cfg.snr_points - 1)
+        interval = (cfg.snr_test_end - cfg.snr_test_start) \
+            / max(1, cfg.snr_points - 1)
         snrs = [cfg.snr_test_start + interval * i for i in range(cfg.snr_points)]
         if verbose:
             print('SNRS', snrs)

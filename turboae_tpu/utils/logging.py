@@ -31,6 +31,12 @@ class Tee:
         self.terminal.flush()
         self.log.flush()
 
+    def isatty(self):
+        return self.terminal.isatty()
+
+    def fileno(self):
+        return self.terminal.fileno()
+
 
 class MetricsLogger:
     """Append-only JSONL metrics."""
