@@ -159,3 +159,108 @@ def test_conv_benchmark_fair_zeroes_full_tail():
                              '-snr_test_end', '2.0', '-snr_points', '1',
                              '-engine', 'numpy'])
     assert bers[0] < 0.05  # still decodes fine with the tail zeroed
+
+
+def test_cnn_decoder_head_is_unactivated():
+    """Reference applies dec_act only in DEC_LargeRNN (decoders.py:103); CNN
+    decoder heads are raw Linear — -dec_act tanh must not change CNN output."""
+    from turboae_tpu.models.channel_ae import init_ae, make_perms, forward_ae
+    cfg_a = _tiny_cfg(dec_act='linear')
+    cfg_b = _tiny_cfg(dec_act='tanh')
+    key = jax.random.PRNGKey(0)
+    params = init_ae(key, cfg_a)
+    perms = make_perms(cfg_a)
+    bits = jax.random.bernoulli(key, 0.5, (4, cfg_a.block_len, 1)).astype(jnp.float32)
+    noise = 0.1 * jax.random.normal(key, (4, cfg_a.block_len, 3))
+    out_a, _, _ = forward_ae(params, cfg_a, key, bits, noise, perms, training=False)
+    out_b, _, _ = forward_ae(params, cfg_b, key, bits, noise, perms, training=False)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_dense_decoder_keys_off_encoder_name():
+    """Reference decoders.py:172-176: DEC_LargeCNN uses plain convs ONLY when
+    encoder == 'TurboAE_rate3_cnn'; DeepTurbo (classical encoder) gets the
+    DENSE decoder."""
+    from turboae_tpu.models.decoders import largecnn_init
+    key = jax.random.PRNGKey(0)
+    # >=2 conv layers: dense stacks concat features so layer-2 widths differ
+    plain = largecnn_init(key, _tiny_cfg(encoder='TurboAE_rate3_cnn',
+                                         dec_num_layer=2))
+    dense = largecnn_init(key, _tiny_cfg(encoder='Turbo_rate3_757',
+                                         dec_num_layer=2))
+    # dense stacks concatenate features: layer-2 conv input widths differ
+    w_plain = plain['final']['dec1_cnn']
+    w_dense = dense['final']['dec1_cnn']
+    shapes_p = [x.shape for x in jax.tree.leaves(w_plain)]
+    shapes_d = [x.shape for x in jax.tree.leaves(w_dense)]
+    assert shapes_p != shapes_d
+
+
+def test_single_iteration_decoder_builds_and_runs():
+    """num_iteration=1 (peel-only): _stack_iters([]) must not crash."""
+    from turboae_tpu.train.trainer import Trainer
+    cfg = _tiny_cfg(num_iteration=1)
+    tr = Trainer(cfg)
+    loss = tr.train_epoch(1, 'decoder', verbose=False)
+    assert np.isfinite(loss)
+
+
+def test_symbol_power_normalizes_per_position():
+    """mod_pc='symbol_power': reference modulations.py:74-81 whitens each
+    symbol POSITION over (batch, I/Q), not each I/Q lane over (batch, time)."""
+    from turboae_tpu.models.modulation import mod_init, mod_apply
+    cfg = _tiny_cfg(block_len=16, mod_rate=2, mod_pc='symbol_power',
+                    mod_num_layer=1, mod_num_unit=4)
+    key = jax.random.PRNGKey(2)
+    params = mod_init(key, cfg)
+    codes = jax.random.normal(key, (64, 16, 3))
+    sym = np.asarray(mod_apply(params, cfg, codes))
+    # per-position std over (batch, I/Q) ~ 1 (Bessel), per-position mean ~ 0
+    m = sym.mean(axis=(0, 2))
+    s = sym.std(axis=(0, 2), ddof=1)
+    assert np.abs(m).max() < 1e-5
+    np.testing.assert_allclose(s, 1.0, atol=1e-4)
+
+
+def test_ftae_ignore_prev_code_zeroes_codes_output():
+    from turboae_tpu.models.ftae import init_ftae, forward_ftae
+    from turboae_tpu.models.channel_ae import make_perms
+    cfg = _tiny_cfg(ignore_prev_code=True, dec_type='cnn')
+    key = jax.random.PRNGKey(3)
+    params = init_ftae(key, cfg)
+    perms = make_perms(cfg)
+    bits = jax.random.bernoulli(key, 0.5, (4, cfg.block_len, 1)).astype(jnp.float32)
+    fwd_noise = 0.1 * jax.random.normal(key, (4, cfg.block_len, 3))
+    fb_noise = 0.1 * jax.random.normal(key, (4, cfg.block_len, 3))
+    _, codes = forward_ftae(params, cfg, bits, fwd_noise, fb_noise, perms)
+    codes = np.asarray(codes)
+    assert np.all(codes[:, :, 0] == 0.0) and np.all(codes[:, :, 1] == 0.0)
+    assert np.any(codes[:, :, 2] != 0.0)
+
+
+def test_rnn_interlayer_dropout_active_in_training():
+    """torch GRU(dropout=r) drops between stacked layers; our bigru_apply must
+    too (training only)."""
+    from turboae_tpu.ops.gru import bigru_init, bigru_apply
+    key = jax.random.PRNGKey(4)
+    layers = bigru_init(key, 3, 8, 2)
+    x = jax.random.normal(key, (2, 10, 3))
+    eval_out = bigru_apply(layers, x)
+    train_out = bigru_apply(layers, x, dropout=0.5, key=key)
+    assert not np.allclose(np.asarray(eval_out), np.asarray(train_out))
+    # dropout only between layers: single-layer stack is unaffected
+    one = bigru_init(key, 3, 8, 1)
+    a = bigru_apply(one, x)
+    b = bigru_apply(one, x, dropout=0.5, key=key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ste_trained_encoder_binarizes_at_eval():
+    """Reference power_constraint checks train_channel_mode unconditionally
+    (encoders.py:117): STE-trained codes stay binary at eval."""
+    from turboae_tpu.ops.power import power_constraint
+    cfg = _tiny_cfg(train_channel_mode='block_norm_ste')
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 16, 3))
+    codes, _ = power_constraint(x, cfg, training=False)
+    vals = np.unique(np.round(np.asarray(codes), 5))
+    assert set(vals.tolist()) <= {-1.0, 1.0}

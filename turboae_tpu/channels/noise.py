@@ -61,8 +61,12 @@ def _ge_scan(key, shape, emit_good, emit_bad, p_gg: float = 0.8, p_bb: float = 0
     def step(good, xs):
         stay_u, e_good, e_bad = xs
         emit = jnp.where(good, e_good, e_bad)
-        p_stay = jnp.where(good, p_gg, p_bb)
-        good_next = jnp.where(stay_u < p_stay, good, ~good)
+        # reference executable semantics (channels.py:73,79): from BOTH
+        # states, `good = rand() < p` — i.e. p_gg is P(stay good) but p_bb is
+        # P(RETURN to good); the "stay in bad" probability is 1 - p_bb. The
+        # comments in the reference say "stay" for both; the code wins.
+        p_good_next = jnp.where(good, p_gg, p_bb)
+        good_next = stay_u < p_good_next
         return good_next, emit
 
     init = jnp.ones((b, c), dtype=bool)

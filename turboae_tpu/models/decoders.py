@@ -33,7 +33,11 @@ def _dtype(cfg):
 
 
 def _stack_iters(per_iter):
-    """Stack a list of identically-shaped pytrees on a new leading axis."""
+    """Stack a list of identically-shaped pytrees on a new leading axis.
+    Empty list (num_iteration == 1: everything is in the peeled final
+    iteration) -> None; apply fns skip the scan in that case."""
+    if not per_iter:
+        return None
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_iter)
 
 
@@ -48,7 +52,11 @@ def _perm_pair(perms, name='p1'):
 # ------------------------------------------------------------------
 
 def largecnn_init(key, cfg) -> Params:
-    dense = cfg.decoder == 'TurboAE_rate3_cnn_dense'
+    # reference keys the conv flavor off the ENCODER name
+    # (decoders.py:172-176): plain convs ONLY for
+    # encoder == 'TurboAE_rate3_cnn', dense for everything else
+    # (including DeepTurbo's fixed classical encoders)
+    dense = cfg.encoder != 'TurboAE_rate3_cnn'
     cnn_init = cv.dense_stack_init if dense else cv.stack_init
     n_in = 2 + cfg.num_iter_ft
     it = cfg.num_iteration
@@ -85,9 +93,8 @@ def largecnn_init(key, cfg) -> Params:
 
 
 def largecnn_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
-    dense = cfg.decoder == 'TurboAE_rate3_cnn_dense'
+    dense = cfg.encoder != 'TurboAE_rate3_cnn'  # see largecnn_init
     dt = _dtype(cfg)
-    act = activation(cfg.dec_act)
     stackf = cv.dense_stack_apply if dense else cv.stack_apply
     p, inv = _perm_pair(perms)
 
@@ -101,7 +108,9 @@ def largecnn_apply(params, cfg, received, perms, key=None, training=False) -> jn
 
     def half_iter(w_cnn, w_lin, inputs, sub):
         h = stackf(w_cnn, inputs, compute_dtype=dt)
-        x_plr = act(cv.linear_apply(w_lin, h, compute_dtype=dt))
+        # raw Linear: the reference applies dec_act only in DEC_LargeRNN
+        # (decoders.py:103); every CNN decoder head is unactivated
+        x_plr = cv.linear_apply(w_lin, h, compute_dtype=dt)
         if cfg.extrinsic:
             x_plr = x_plr - sub        # extrinsic subtraction (decoders.py:235-247)
         return x_plr
@@ -115,7 +124,10 @@ def largecnn_apply(params, cfg, received, perms, key=None, training=False) -> jn
                            x_plr_int)
         return jnp.take(x_plr2, inv, axis=1), None
 
-    prior, _ = lax.scan(body, prior0, params['scan'])
+    if cfg.num_iteration > 1:
+        prior, _ = lax.scan(body, prior0, params['scan'])
+    else:
+        prior = prior0  # num_iteration == 1: only the peeled final iteration
 
     # final iteration (decoders.py:251-267): dec2 head emits 1 channel
     fw = params['final']
@@ -125,7 +137,7 @@ def largecnn_apply(params, cfg, received, perms, key=None, training=False) -> jn
     h = stackf(fw['dec2_cnn'],
                jnp.concatenate([r_sys_int, r_par2, x_plr_int], axis=2),
                compute_dtype=dt)
-    logit = act(cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt))
+    logit = cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt)
     return jax.nn.sigmoid(jnp.take(logit, inv, axis=1))
 
 
@@ -178,7 +190,12 @@ def largernn_apply(params, cfg, received, perms, key=None, training=False) -> jn
         return jnp.where(mask, x / keep, 0.0)
 
     def half_iter(w_rnn, w_lin, inputs, sub, dk):
-        h = rnn.birnn_apply(w_rnn, inputs, cfg.dec_rnn, compute_dtype=dt)
+        # torch GRU/LSTM inter-layer dropout (reference decoders.py:44,49)
+        # plus the head dropout (decoders.py:103); distinct folded keys
+        h = rnn.birnn_apply(w_rnn, inputs, cfg.dec_rnn, compute_dtype=dt,
+                            dropout=cfg.dropout if use_dropout else 0.0,
+                            key=jax.random.fold_in(dk, 1 << 20)
+                            if use_dropout else None)
         x_plr = act(maybe_dropout(cv.linear_apply(w_lin, h, compute_dtype=dt), dk))
         if cfg.extrinsic:
             x_plr = x_plr - sub
@@ -199,7 +216,10 @@ def largernn_apply(params, cfg, received, perms, key=None, training=False) -> jn
         return jnp.take(x_plr2, inv, axis=1), None
 
     n_scan = cfg.num_iteration - 1
-    prior, _ = lax.scan(body, prior0, (params['scan'], jnp.arange(n_scan)))
+    if n_scan > 0:
+        prior, _ = lax.scan(body, prior0, (params['scan'], jnp.arange(n_scan)))
+    else:
+        prior = prior0
 
     fw = params['final']
     k1 = jax.random.fold_in(base_key, 2 * n_scan)
@@ -219,12 +239,13 @@ def largernn_apply(params, cfg, received, perms, key=None, training=False) -> jn
 # ------------------------------------------------------------------
 
 def largecnn2int_init(key, cfg) -> Params:
-    return largecnn_init(key, cfg.replace(decoder='TurboAE_rate3_cnn'))
+    # always plain convs (reference 2Int imports only SameShapeConv1d,
+    # decoders.py:278); dense selection keys off encoder in largecnn_init
+    return largecnn_init(key, cfg.replace(encoder='TurboAE_rate3_cnn'))
 
 
 def largecnn2int_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dt = _dtype(cfg)
-    act = activation(cfg.dec_act)
     p1, inv1 = _perm_pair(perms, 'p1')
     p2, inv2 = _perm_pair(perms, 'p2')
 
@@ -239,7 +260,7 @@ def largecnn2int_apply(params, cfg, received, perms, key=None, training=False) -
 
     def half(w_cnn, w_lin, inputs, sub):
         h = cv.stack_apply(w_cnn, inputs, compute_dtype=dt)
-        x = act(cv.linear_apply(w_lin, h, compute_dtype=dt))
+        x = cv.linear_apply(w_lin, h, compute_dtype=dt)  # raw (no dec_act)
         if cfg.extrinsic:
             x = x - sub
         return x
@@ -253,7 +274,10 @@ def largecnn2int_apply(params, cfg, received, perms, key=None, training=False) -
                       jnp.concatenate([r_sys_int2, r_par2, x_int], axis=2), x_int)
         return jnp.take(x_plr2, inv2, axis=1), None
 
-    prior, _ = lax.scan(body, prior0, params['scan'])
+    if cfg.num_iteration > 1:
+        prior, _ = lax.scan(body, prior0, params['scan'])
+    else:
+        prior = prior0  # num_iteration == 1: only the peeled final iteration
 
     fw = params['final']
     prior_i = jnp.take(prior, p1, axis=1)
@@ -263,7 +287,7 @@ def largecnn2int_apply(params, cfg, received, perms, key=None, training=False) -
     h = cv.stack_apply(fw['dec2_cnn'],
                        jnp.concatenate([r_sys_int2, r_par2, x_int], axis=2),
                        compute_dtype=dt)
-    logit = act(cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt))
+    logit = cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt)
     return jax.nn.sigmoid(jnp.take(logit, inv2, axis=1))
 
 
@@ -272,12 +296,13 @@ def largecnn2int_apply(params, cfg, received, perms, key=None, training=False) -
 # ------------------------------------------------------------------
 
 def largecnn_rate2_init(key, cfg) -> Params:
-    return largecnn_init(key, cfg.replace(decoder='TurboAE_rate3_cnn'))
+    # always plain convs (reference rate2 decoder hard-codes SameShapeConv1d,
+    # decoders.py:651-655)
+    return largecnn_init(key, cfg.replace(encoder='TurboAE_rate3_cnn'))
 
 
 def largecnn_rate2_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dt = _dtype(cfg)
-    act = activation(cfg.dec_act)
     p, inv = _perm_pair(perms)
 
     r_sys = received[:, :, 0:1]
@@ -290,7 +315,7 @@ def largecnn_rate2_apply(params, cfg, received, perms, key=None, training=False)
 
     def half(w_cnn, w_lin, inputs, sub):
         h = cv.stack_apply(w_cnn, inputs, compute_dtype=dt)
-        x = act(cv.linear_apply(w_lin, h, compute_dtype=dt))
+        x = cv.linear_apply(w_lin, h, compute_dtype=dt)  # raw (no dec_act)
         if cfg.extrinsic:
             x = x - sub
         return x
@@ -303,7 +328,10 @@ def largecnn_rate2_apply(params, cfg, received, perms, key=None, training=False)
                       jnp.concatenate([r_sys_int, r_par, x_int], axis=2), x_int)
         return jnp.take(x_plr2, inv, axis=1), None
 
-    prior, _ = lax.scan(body, prior0, params['scan'])
+    if cfg.num_iteration > 1:
+        prior, _ = lax.scan(body, prior0, params['scan'])
+    else:
+        prior = prior0  # num_iteration == 1: only the peeled final iteration
 
     fw = params['final']
     x_plr = half(fw['dec1_cnn'], fw['dec1_lin'],
@@ -312,7 +340,7 @@ def largecnn_rate2_apply(params, cfg, received, perms, key=None, training=False)
     h = cv.stack_apply(fw['dec2_cnn'],
                        jnp.concatenate([r_sys_int, r_par, x_int], axis=2),
                        compute_dtype=dt)
-    logit = act(cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt))
+    logit = cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt)
     return jax.nn.sigmoid(jnp.take(logit, inv, axis=1))
 
 
@@ -338,7 +366,6 @@ def largernn_rate2_init(key, cfg) -> Params:
 
 def largernn_rate2_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
     dt = _dtype(cfg)
-    act = activation(cfg.dec_act)
     p, inv = _perm_pair(perms)
 
     r_sys = received[:, :, 0:1]
@@ -349,7 +376,9 @@ def largernn_rate2_apply(params, cfg, received, perms, key=None, training=False)
 
     def half(w_rnn, w_lin, inputs, sub):
         h = rnn.bigru_apply(w_rnn, inputs, compute_dtype=dt)
-        x = act(cv.linear_apply(w_lin, h, compute_dtype=dt))
+        # raw Linear: reference rate2 RNN applies no dec_act
+        # (decoders.py:597-627)
+        x = cv.linear_apply(w_lin, h, compute_dtype=dt)
         if cfg.extrinsic:
             x = x - sub
         return x
@@ -362,7 +391,10 @@ def largernn_rate2_apply(params, cfg, received, perms, key=None, training=False)
                       jnp.concatenate([r_int, x_int], axis=2), x_int)
         return jnp.take(x_plr2, inv, axis=1), None
 
-    prior, _ = lax.scan(body, prior0, params['scan'])
+    if cfg.num_iteration > 1:
+        prior, _ = lax.scan(body, prior0, params['scan'])
+    else:
+        prior = prior0  # num_iteration == 1: only the peeled final iteration
 
     fw = params['final']
     x_plr = half(fw['dec1_rnn'], fw['dec1_lin'],
@@ -370,7 +402,7 @@ def largernn_rate2_apply(params, cfg, received, perms, key=None, training=False)
     x_int = jnp.take(x_plr, p, axis=1)
     h = rnn.bigru_apply(fw['dec2_rnn'], jnp.concatenate([r_int, x_int], axis=2),
                         compute_dtype=dt)
-    logit = act(cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt))
+    logit = cv.linear_apply(fw['dec2_lin'], h, compute_dtype=dt)
     return jax.nn.sigmoid(jnp.take(logit, inv, axis=1))
 
 
@@ -447,7 +479,7 @@ def nbcjr_apply(params, cfg, received, perms, key=None, training=False) -> jnp.n
 # ------------------------------------------------------------------
 
 def largecnn2d_init(key, cfg) -> Params:
-    dense = cfg.decoder == 'TurboAE_rate3_cnn2d_dense'
+    dense = cfg.encoder == 'TurboAE_rate3_cnn2d_dense'  # keyed off ENCODER (reference decoders.py:398,507)
     cnn_init = cv.dense_stack2d_init if dense else cv.stack2d_init
     n_in = 2 + cfg.num_iter_ft
     it = cfg.num_iteration
@@ -470,7 +502,7 @@ def largecnn2d_init(key, cfg) -> Params:
 
 
 def largecnn2d_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
-    dense = cfg.decoder == 'TurboAE_rate3_cnn2d_dense'
+    dense = cfg.encoder == 'TurboAE_rate3_cnn2d_dense'  # keyed off ENCODER (reference decoders.py:398,507)
     dt = _dtype(cfg)
     stackf = cv.dense_stack2d_apply if dense else cv.stack2d_apply
     s = cfg.img_size
@@ -505,7 +537,10 @@ def largecnn2d_apply(params, cfg, received, perms, key=None, training=False) -> 
                       jnp.concatenate([r_sys_int, r_par2, x_int], axis=3), x_int)
         return pix_perm(x_plr2, inv), None
 
-    prior, _ = lax.scan(body, prior0, params['scan'])
+    if cfg.num_iteration > 1:
+        prior, _ = lax.scan(body, prior0, params['scan'])
+    else:
+        prior = prior0  # num_iteration == 1: only the peeled final iteration
 
     fw = params['final']
     x_plr = half(fw['dec1_cnn'], fw['dec1_out'],
@@ -520,7 +555,7 @@ def largecnn2d_apply(params, cfg, received, perms, key=None, training=False) -> 
 
 def cnn2d_init(key, cfg) -> Params:
     """DEC_CNN2D — no interleaver (decoders.py:498-534)."""
-    dense = cfg.decoder == 'TurboAE_rate3_cnn2d_dense'
+    dense = cfg.encoder == 'TurboAE_rate3_cnn2d_dense'  # keyed off ENCODER (reference decoders.py:398,507)
     cnn_init = cv.dense_stack2d_init if dense else cv.stack2d_init
     k1, k2 = jax.random.split(key)
     return {'dec': cnn_init(k1, cfg.dec_num_layer, cfg.code_rate_n,
@@ -529,7 +564,7 @@ def cnn2d_init(key, cfg) -> Params:
 
 
 def cnn2d_apply(params, cfg, received, perms, key=None, training=False) -> jnp.ndarray:
-    dense = cfg.decoder == 'TurboAE_rate3_cnn2d_dense'
+    dense = cfg.encoder == 'TurboAE_rate3_cnn2d_dense'  # keyed off ENCODER (reference decoders.py:398,507)
     dt = _dtype(cfg)
     stackf = cv.dense_stack2d_apply if dense else cv.stack2d_apply
     s = cfg.img_size

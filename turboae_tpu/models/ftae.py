@@ -28,7 +28,7 @@ from jax import lax
 from ..ops import conv1d as cv
 from ..ops import gru as rnn
 from ..ops.interleave import interleave
-from ..ops.ste import ste_quantize
+from ..ops.ste import rx_quantize
 
 Params = Any
 
@@ -38,12 +38,17 @@ def _dtype(cfg):
 
 
 def _fb_power_constraint(cfg, x):
-    """Whitening + optional STE (ftae_ae.py:17-36); torch.std ddof=1."""
+    """Whitening + optional STE (ftae_ae.py:17-36); torch.std ddof=1.
+
+    The reference quantizes with ste.py's STEQuantize — the variant whose
+    backward hard-codes the ±1.0 input gate and ±0.25 gradient clamp ('both'
+    mode) — NOT the args-driven encoders.py copy; rx_quantize is that
+    variant."""
     m = jnp.mean(x)
     s = jnp.sqrt(jnp.sum((x - m) ** 2) / (x.size - 1))
     xn = (x - m) / s
     if cfg.channel_mode != 'block_norm':
-        xn = ste_quantize(xn, 1.0, 2, cfg.enc_grad_limit, cfg.enc_clipping)
+        xn = rx_quantize(xn, 1.0, 2)
     return xn
 
 
@@ -99,7 +104,8 @@ def _ftae_dec_init(key, cfg) -> Params:
         else:
             d2l.append(cv.linear_init(keys[4 * i + 3], lin_in, cfg.num_iter_ft))
 
-    stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
+    stack = lambda xs: (jax.tree.map(lambda *a: jnp.stack(a), *xs)
+                        if xs else None)
     return {'scan': {'dec1': stack(d1c[:-1]), 'dec2': stack(d2c[:-1]),
                      'lin1': stack(d1l[:-1]), 'lin2': stack(d2l)},
             'final': {'dec1': d1c[-1], 'dec2': d2c[-1],
@@ -137,7 +143,9 @@ def _ftae_dec_apply(params, cfg, received, perms):
                              compute_dtype=dt) - x_int
         return jnp.take(x2, inv, axis=1), None
 
-    prior, _ = lax.scan(body, prior0, params['scan'])
+    prior = prior0
+    if cfg.num_iteration > 1:
+        prior, _ = lax.scan(body, prior0, params['scan'])
     fw = params['final']
     x = cv.linear_apply(fw['lin1'], core(fw['dec1'],
                         jnp.concatenate([r_sys, r_par1, prior], axis=2)),
@@ -258,7 +266,9 @@ def forward_ftae(params, cfg, bits, fwd_noise, fb_noise, perms):
     x3 = _phase_enc_apply(params['fwd_enc3'], cfg, enc3_in, interleave_perm=perm)
     y3 = x3 + z3
 
-    codes = jnp.concatenate([x1, x2, x3], axis=2)
+    # the reference overwrites x_1/x_2 THEMSELVES when ignore_prev_code is
+    # set (ftae_ae.py:355,367), so the returned codes carry the zeros too
+    codes = jnp.concatenate([x1_in, x2_in, x3], axis=2)
     received = jnp.concatenate([y1, y2, y3], axis=2)
 
     if cfg.dec_type == 'cnn':

@@ -43,11 +43,13 @@ def mod_apply(params, cfg, codes):
         sym = (sym - jnp.mean(sym)) / _std_bessel(sym)
         return mod_quantize(sym)
     if cfg.mod_pc == 'symbol_power':
-        # per-I/Q-channel stats over (batch, time) (modulations.py:74-81)
-        mean = jnp.mean(sym, axis=(0, 1), keepdims=True)
-        cnt = sym.shape[0] * sym.shape[1]
-        std = jnp.sqrt(jnp.sum((sym - jnp.mean(sym, axis=(0, 1), keepdims=True)) ** 2,
-                               axis=(0, 1), keepdims=True) / (cnt - 1))
+        # per-SYMBOL-POSITION stats over (batch, I/Q) — reference
+        # modulations.py:74-81: mean(dim=2).mean(dim=0) and Bessel std of the
+        # (B*2, T) view along dim=0, both broadcast as (1, T, 1)
+        mean = jnp.mean(sym, axis=(0, 2), keepdims=True)
+        cnt = sym.shape[0] * sym.shape[2]
+        std = jnp.sqrt(jnp.sum((sym - mean) ** 2, axis=(0, 2), keepdims=True)
+                       / (cnt - 1))
         return (sym - mean) / std
     # block_power
     return (sym - jnp.mean(sym)) / _std_bessel(sym)

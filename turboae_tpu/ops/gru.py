@@ -83,12 +83,25 @@ def bigru_init(key, input_size: int, hidden_size: int, num_layers: int) -> Param
     return layers
 
 
-def bigru_apply(layers: Params, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
+def _interlayer_dropout(x, rate, key, layer_idx, n_layers):
+    """torch.nn.GRU(dropout=r): dropout on every layer's output EXCEPT the
+    last (reference DEC_LargeRNN builds its GRUs with dropout=args.dropout,
+    decoders.py:44,49). No-op when rate==0 or key is None (eval)."""
+    if rate <= 0.0 or key is None or layer_idx >= n_layers - 1:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(jax.random.fold_in(key, layer_idx), keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def bigru_apply(layers: Params, x: jnp.ndarray, compute_dtype=jnp.float32,
+                dropout: float = 0.0, key=None) -> jnp.ndarray:
     """(B, L, In) -> (B, L, 2H): per-layer fwd+bwd scans, concat features."""
-    for layer in layers:
+    for i, layer in enumerate(layers):
         fwd = _gru_scan(layer['fwd'], x, reverse=False, compute_dtype=compute_dtype)
         bwd = _gru_scan(layer['bwd'], x, reverse=True, compute_dtype=compute_dtype)
         x = jnp.concatenate([fwd, bwd], axis=-1)
+        x = _interlayer_dropout(x, dropout, key, i, len(layers))
     return x
 
 
@@ -142,11 +155,13 @@ def bilstm_init(key, input_size: int, hidden_size: int, num_layers: int) -> Para
     return layers
 
 
-def bilstm_apply(layers: Params, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
-    for layer in layers:
+def bilstm_apply(layers: Params, x: jnp.ndarray, compute_dtype=jnp.float32,
+                 dropout: float = 0.0, key=None) -> jnp.ndarray:
+    for i, layer in enumerate(layers):
         fwd = _lstm_scan(layer['fwd'], x, reverse=False, compute_dtype=compute_dtype)
         bwd = _lstm_scan(layer['bwd'], x, reverse=True, compute_dtype=compute_dtype)
         x = jnp.concatenate([fwd, bwd], axis=-1)
+        x = _interlayer_dropout(x, dropout, key, i, len(layers))
     return x
 
 
@@ -156,7 +171,8 @@ def birnn_init(key, input_size: int, hidden_size: int, num_layers: int, kind: st
     return bigru_init(key, input_size, hidden_size, num_layers)
 
 
-def birnn_apply(layers, x, kind: str, compute_dtype=jnp.float32):
+def birnn_apply(layers, x, kind: str, compute_dtype=jnp.float32,
+                dropout: float = 0.0, key=None):
     if kind == 'lstm':
-        return bilstm_apply(layers, x, compute_dtype)
-    return bigru_apply(layers, x, compute_dtype)
+        return bilstm_apply(layers, x, compute_dtype, dropout=dropout, key=key)
+    return bigru_apply(layers, x, compute_dtype, dropout=dropout, key=key)

@@ -62,7 +62,14 @@ def power_constraint(x, cfg, training: bool = True,
     else:
         x_norm = (x - this_mean) / this_std
 
-    mode = cfg.train_channel_mode if training else cfg.test_channel_mode
+    # the reference checks train_channel_mode UNCONDITIONALLY
+    # (encoders.py:117-119): an STE-trained encoder transmits binarized codes
+    # at eval too; its -test_channel_mode flag is parsed but never read.
+    # We honor test_channel_mode only as an explicit eval-time override when
+    # it differs from the default, preserving both surfaces.
+    mode = cfg.train_channel_mode
+    if not training and cfg.test_channel_mode != 'block_norm':
+        mode = cfg.test_channel_mode
     if mode == 'block_norm_ste':
         x_norm = ste_quantize(x_norm, cfg.enc_value_limit, cfg.enc_quantize_level,
                               cfg.enc_grad_limit, cfg.enc_clipping)
