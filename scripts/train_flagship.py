@@ -54,6 +54,10 @@ def main():
     p.add_argument('--start_epoch', type=int, default=-1,
                    help='override the resumed epoch counter (new phases '
                         'restart at 0)')
+    p.add_argument('--trace_dir', default='',
+                   help='capture a jax.profiler timeline of the second '
+                        'epoch (post-compile) into this directory; view '
+                        'with tensorboard/xprof')
     args = p.parse_args()
 
     import jax
@@ -100,14 +104,21 @@ def main():
     if args.start_epoch >= 0:
         start_epoch = args.start_epoch
 
+    from turboae_tpu.utils.logging import trace
+    import contextlib
+
     t_start = time.time()
-    for epoch in range(start_epoch + 1, args.epochs + 1):
+    for i, epoch in enumerate(range(start_epoch + 1, args.epochs + 1)):
         t0 = time.time()
+        # trace the 2nd epoch so compilation doesn't pollute the timeline
+        tracing = trace(args.trace_dir) if (args.trace_dir and i == 1) \
+            else contextlib.nullcontext()
         enc_loss = dec_loss = 0.0
-        for _ in range(cfg.num_train_enc):
-            enc_loss = trainer.train_epoch(epoch, 'encoder', verbose=False)
-        for _ in range(cfg.num_train_dec):
-            dec_loss = trainer.train_epoch(epoch, 'decoder', verbose=False)
+        with tracing:
+            for _ in range(cfg.num_train_enc):
+                enc_loss = trainer.train_epoch(epoch, 'encoder', verbose=False)
+            for _ in range(cfg.num_train_dec):
+                dec_loss = trainer.train_epoch(epoch, 'decoder', verbose=False)
         dt = time.time() - t0
         blocks = cfg.num_block * (cfg.num_train_enc + cfg.num_train_dec)
         print(f'epoch {epoch}: enc_loss {enc_loss:.6f} dec_loss {dec_loss:.6f} '
