@@ -107,11 +107,19 @@ def main():
     from turboae_tpu.utils.logging import trace
     import contextlib
 
+    n_epochs_to_run = args.epochs - start_epoch
+    # trace the 2nd epoch so compilation doesn't pollute the timeline; with
+    # only one epoch to run, fall back to tracing it (compile included) rather
+    # than silently producing no trace
+    trace_iter = 1 if n_epochs_to_run >= 2 else 0
+    if args.trace_dir and n_epochs_to_run < 2:
+        print('warning: fewer than 2 epochs to run; tracing epoch 0 '
+              '(timeline includes compilation)', flush=True)
+
     t_start = time.time()
     for i, epoch in enumerate(range(start_epoch + 1, args.epochs + 1)):
         t0 = time.time()
-        # trace the 2nd epoch so compilation doesn't pollute the timeline
-        tracing = trace(args.trace_dir) if (args.trace_dir and i == 1) \
+        tracing = trace(args.trace_dir) if (args.trace_dir and i == trace_iter) \
             else contextlib.nullcontext()
         enc_loss = dec_loss = 0.0
         with tracing:

@@ -105,6 +105,34 @@ def hazzys_turbo_decode(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     return (L_ext_1 + L_int_1 + weighted_sys > 0).astype(int)
 
 
+def hazzys_g_turbo_decode(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
+                          trellis: Trellis, noise_variance, number_iterations,
+                          interleaver, L_int=None):
+    """Damped hazzys variant (reference turbo.py:433-518): each extrinsic is
+    attenuated by 0.9*exp(-0.01*|L|) before being passed on; decision from the
+    *damped* L_ext_1 + L_int_1 + weighted_sys."""
+    if L_int is None:
+        L_int = np.zeros(len(sys_symbols))
+    L_int_1 = L_int
+    sys_symbols_i = interleaver.interlv(sys_symbols)
+    weighted_sys = 2.0 * np.asarray(sys_symbols) / noise_variance
+
+    for _ in range(number_iterations):
+        L_ext_1, _ = map_decode(sys_symbols, non_sys_symbols_1, trellis,
+                                noise_variance, L_int_1, 'compute')
+        L_ext_1 = L_ext_1 - L_int_1 - weighted_sys
+        L_ext_1 = L_ext_1 * 0.9 * np.exp(-0.01 * np.abs(L_ext_1))
+        L_int_2 = interleaver.interlv(L_ext_1)
+
+        L_2, _ = map_decode(sys_symbols_i, non_sys_symbols_2, trellis,
+                            noise_variance, L_int_2, 'compute')
+        L_ext_2 = L_2 - L_int_2
+        L_ext_2 = L_ext_2 * 0.9 * np.exp(-0.01 * np.abs(L_ext_2))
+        L_int_1 = interleaver.deinterlv(L_ext_2) - weighted_sys
+
+    return (L_ext_1 + L_int_1 + weighted_sys > 0).astype(int)
+
+
 # ---------------------------------------------------------------------------
 # TPU path: fully batched turbo decoder
 # ---------------------------------------------------------------------------
@@ -114,7 +142,8 @@ def make_jax_turbo_decoder(trellis: Trellis, p_array, number_iterations: int,
     """Jittable batched turbo decoder.
 
     fn(sys (B,L), par1 (B,L), par2 (B,L), noise_variance) -> bits (B,L) int32.
-    variant 'hazzys' reproduces hazzys_turbo_decode; 'standard' turbo_decode.
+    variant 'hazzys' reproduces hazzys_turbo_decode; 'standard' turbo_decode;
+    'hazzys_g' the damped hazzys_g_turbo_decode (turbo.py:433-518).
     """
     import jax
     import jax.numpy as jnp
@@ -129,18 +158,25 @@ def make_jax_turbo_decoder(trellis: Trellis, p_array, number_iterations: int,
         L_int_1 = jnp.zeros((B, L))
         weighted_sys = 2.0 * sys_symbols / noise_variance
 
+        def damp(L):
+            return L * 0.9 * jnp.exp(-0.01 * jnp.abs(L))
+
         def body(carry, _):
             L_int_1, L_ext_1_prev, _ = carry
             L_post_1 = map_dec(sys_symbols, par1, noise_variance, L_int_1)
-            if variant == 'hazzys':
+            if variant in ('hazzys', 'hazzys_g'):
                 L_ext_1 = L_post_1 - L_int_1 - weighted_sys
             else:
                 L_ext_1 = L_post_1 - L_int_1
+            if variant == 'hazzys_g':
+                L_ext_1 = damp(L_ext_1)
             L_int_2 = L_ext_1[:, p]
             L_post_2 = map_dec(sys_i, par2, noise_variance, L_int_2)
             L_ext_2 = L_post_2 - L_int_2
+            if variant == 'hazzys_g':
+                L_ext_2 = damp(L_ext_2)
             new_L_int_1 = L_ext_2[:, inv]
-            if variant == 'hazzys':
+            if variant in ('hazzys', 'hazzys_g'):
                 new_L_int_1 = new_L_int_1 - weighted_sys
             return (new_L_int_1, L_ext_1, L_post_2), None
 
@@ -148,7 +184,7 @@ def make_jax_turbo_decoder(trellis: Trellis, p_array, number_iterations: int,
             body, (L_int_1, jnp.zeros((B, L)), jnp.zeros((B, L))), None,
             length=number_iterations)
 
-        if variant == 'hazzys':
+        if variant in ('hazzys', 'hazzys_g'):
             return (L_ext_1 + L_int_1 + weighted_sys > 0).astype(jnp.int32)
         # standard: decision from decoder 2's posterior of the FINAL
         # iteration, deinterleaved (host turbo_decode above / reference
