@@ -32,6 +32,14 @@ def get_bench_args(argv=None):
     p.add_argument('-snr_points', type=int, default=8)
     p.add_argument('-batch_size', type=int, default=1000)
     p.add_argument('-engine', choices=['native', 'numpy', 'jax'], default='native')
+    p.add_argument('-variant', choices=['hazzys', 'hazzys_g'], default='hazzys')
+    p.add_argument('-num_threads', type=int, default=0,
+                   help='native engine worker threads (<=0: all cores)')
+    p.add_argument('-target_bit_err', type=int, default=0,
+                   help='stop a SNR point early once this many bit errors '
+                        'are collected (0 = always run num_block blocks); '
+                        'num_block stays the cap — standard practice for '
+                        'deep-tail Monte-Carlo')
     p.add_argument('-seed', type=int, default=0)
     return p.parse_args(argv)
 
@@ -39,7 +47,8 @@ def get_bench_args(argv=None):
 def run_benchmark(args):
     from ..classical.trellis import turbo757_trellis, turbo_lte_trellis
     from ..classical.interleavers import RandInterlv
-    from ..classical.turbo import turbo_encode_batch, hazzys_turbo_decode
+    from ..classical.turbo import (turbo_encode_batch, hazzys_turbo_decode,
+                                   hazzys_g_turbo_decode)
 
     trellis = turbo_lte_trellis() if args.code == 'lte' else turbo757_trellis()
     inter = RandInterlv(args.block_len, 0)
@@ -50,7 +59,7 @@ def run_benchmark(args):
         from ..classical.turbo import make_jax_turbo_decoder
         import jax
         jax_decoder = jax.jit(make_jax_turbo_decoder(
-            trellis, inter.p_array, args.num_dec_iter, 'hazzys'))
+            trellis, inter.p_array, args.num_dec_iter, args.variant))
 
     interval = (args.snr_test_end - args.snr_test_start) / max(1, args.snr_points - 1)
     snrs = [args.snr_test_start + interval * i for i in range(args.snr_points)]
@@ -80,9 +89,13 @@ def run_benchmark(args):
                     from ..native import native_turbo_decode_batch
                     dec = native_turbo_decode_batch(
                         rx[:, :, 0], rx[:, :, 1], rx[:, :, 2], trellis,
-                        sigma ** 2, args.num_dec_iter, inter.p_array)
+                        sigma ** 2, args.num_dec_iter, inter.p_array,
+                        variant=args.variant, num_threads=args.num_threads)
                 if dec is None:  # numpy fallback
-                    dec = np.stack([hazzys_turbo_decode(
+                    host_dec = (hazzys_g_turbo_decode
+                                if args.variant == 'hazzys_g'
+                                else hazzys_turbo_decode)
+                    dec = np.stack([host_dec(
                         rx[i, :, 0], rx[i, :, 1], rx[i, :, 2], trellis,
                         sigma ** 2, args.num_dec_iter, inter)
                         for i in range(B)])
@@ -91,6 +104,8 @@ def run_benchmark(args):
             n_err += int(err.sum())
             n_block_err += int((err.sum(axis=1) > 0).sum())
             n_done += B
+            if args.target_bit_err and n_err >= args.target_bit_err:
+                break
 
         ber = n_err / (n_done * args.block_len)
         bler = n_block_err / n_done

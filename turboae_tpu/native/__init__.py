@@ -27,7 +27,8 @@ def build(force: bool = False) -> Optional[str]:
         return _SO
     try:
         subprocess.run(
-            ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-o', _SO, _SRC],
+            ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-pthread',
+             '-o', _SO, _SRC],
             check=True, capture_output=True)
         return _SO
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -57,6 +58,11 @@ def load_native():
                                               ctypes.c_int, ctypes.c_int,
                                               ctypes.c_double, ctypes.c_int,
                                               i, i]
+    lib.turbo_decode_batch_mt.argtypes = [d, d, d, ctypes.c_int,
+                                          ctypes.c_int, i, d, d,
+                                          ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_double, ctypes.c_int,
+                                          i, ctypes.c_int, ctypes.c_int, i]
     lib.viterbi_full.argtypes = [d, ctypes.c_int, ctypes.c_int, i, i, d,
                                  ctypes.c_int, ctypes.c_int, ctypes.c_int, i]
     _lib = lib
@@ -68,8 +74,12 @@ def _cptr(a, ct):
 
 
 def native_turbo_decode_batch(sys, par1, par2, trellis, noise_variance,
-                              num_iterations, p_array) -> Optional[np.ndarray]:
-    """Batched hazzys turbo decode via C++; None if native unavailable."""
+                              num_iterations, p_array,
+                              variant: str = 'hazzys',
+                              num_threads: int = 0) -> Optional[np.ndarray]:
+    """Batched turbo decode via C++ (multi-threaded over blocks); None if
+    native unavailable. variant: 'hazzys' or 'hazzys_g' (damped).
+    num_threads<=0 uses all hardware threads."""
     lib = load_native()
     if lib is None:
         return None
@@ -83,14 +93,16 @@ def native_turbo_decode_batch(sys, par1, par2, trellis, noise_variance,
     nst = np.ascontiguousarray(trellis.next_state_table, dtype=np.int32)
     p = np.ascontiguousarray(np.asarray(p_array), dtype=np.int32)
     decoded = np.zeros((B, L), dtype=np.int32)
-    lib.turbo_decode_hazzys_batch(
+    var = {'hazzys': 0, 'hazzys_g': 1}[variant]
+    lib.turbo_decode_batch_mt(
         _cptr(sys, ctypes.c_double), _cptr(par1, ctypes.c_double),
         _cptr(par2, ctypes.c_double), B, L,
         _cptr(nst, ctypes.c_int32), _cptr(out_msg, ctypes.c_double),
         _cptr(out_par, ctypes.c_double),
         trellis.number_states, trellis.number_inputs,
         float(noise_variance), int(num_iterations),
-        _cptr(p, ctypes.c_int32), _cptr(decoded, ctypes.c_int32))
+        _cptr(p, ctypes.c_int32), var, int(num_threads),
+        _cptr(decoded, ctypes.c_int32))
     return decoded
 
 

@@ -7,13 +7,17 @@
 // numpy reference implementations and uses them for the Monte-Carlo benchmark
 // drivers where the host (not the TPU) does classical decoding.
 //
-// Build: see native/build.py (g++ -O3 -shared -fPIC). Exposed via ctypes.
+// Build: lazily compiled by native/__init__.py:build() (g++ -O3 -shared
+// -fPIC -pthread). Exposed via ctypes.
 //
 // Conventions: trellis tables are int32 [S x U]; symbols are double.
 
+#include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -106,12 +110,15 @@ void bcjr_map_decode(const double* sys, const double* par, int L,
 // weighted-systematic subtraction (classical/turbo.hazzys_turbo_decode).
 // p_array: [L] interleaver permutation. decoded: [L] output bits.
 // ---------------------------------------------------------------------------
-void turbo_decode_hazzys(const double* sys, const double* par1,
-                         const double* par2, int L,
-                         const int32_t* next_state, const double* out_msg,
-                         const double* out_par, int S, int U,
-                         double noise_variance, int num_iterations,
-                         const int32_t* p_array, int32_t* decoded) {
+// variant: 0 = hazzys (classical/turbo.hazzys_turbo_decode), 1 = hazzys_g
+// (damped extrinsics, reference turbo.py:433-518).
+static void turbo_decode_one(const double* sys, const double* par1,
+                             const double* par2, int L,
+                             const int32_t* next_state, const double* out_msg,
+                             const double* out_par, int S, int U,
+                             double noise_variance, int num_iterations,
+                             const int32_t* p_array, int variant,
+                             int32_t* decoded) {
     std::vector<double> L_int_1(L, 0.0), L_ext_1(L), L_int_2(L), L_ext_2(L);
     std::vector<double> sys_i(L), wsys(L), tmp(L);
     for (int t = 0; t < L; ++t) {
@@ -124,17 +131,33 @@ void turbo_decode_hazzys(const double* sys, const double* par1,
                         noise_variance, L_int_1.data(), L_ext_1.data());
         for (int t = 0; t < L; ++t)
             L_ext_1[t] = L_ext_1[t] - L_int_1[t] - wsys[t];
+        if (variant == 1)
+            for (int t = 0; t < L; ++t)
+                L_ext_1[t] *= 0.9 * std::exp(-0.01 * std::abs(L_ext_1[t]));
         for (int t = 0; t < L; ++t) L_int_2[t] = L_ext_1[(size_t)p_array[t]];
 
         bcjr_map_decode(sys_i.data(), par2, L, next_state, out_msg, out_par,
                         S, U, noise_variance, L_int_2.data(), L_ext_2.data());
         for (int t = 0; t < L; ++t) L_ext_2[t] -= L_int_2[t];
+        if (variant == 1)
+            for (int t = 0; t < L; ++t)
+                L_ext_2[t] *= 0.9 * std::exp(-0.01 * std::abs(L_ext_2[t]));
         for (int t = 0; t < L; ++t) tmp[(size_t)p_array[t]] = L_ext_2[t];
         for (int t = 0; t < L; ++t) L_int_1[t] = tmp[t] - wsys[t];
     }
 
     for (int t = 0; t < L; ++t)
         decoded[t] = (L_ext_1[t] + L_int_1[t] + wsys[t] > 0.0) ? 1 : 0;
+}
+
+void turbo_decode_hazzys(const double* sys, const double* par1,
+                         const double* par2, int L,
+                         const int32_t* next_state, const double* out_msg,
+                         const double* out_par, int S, int U,
+                         double noise_variance, int num_iterations,
+                         const int32_t* p_array, int32_t* decoded) {
+    turbo_decode_one(sys, par1, par2, L, next_state, out_msg, out_par, S, U,
+                     noise_variance, num_iterations, p_array, 0, decoded);
 }
 
 // ---------------------------------------------------------------------------
@@ -191,22 +214,49 @@ void viterbi_full(const double* received, int T, int n,
 }
 
 // ---------------------------------------------------------------------------
-// Batched turbo decode: B independent blocks (used by benchmark drivers;
-// parallelism via caller threads or just the tight loop — ~100x faster than
-// the reference's per-block Python+mp.Pool).
+// Batched turbo decode: B independent blocks fanned out over std::threads
+// (blocks are embarrassingly parallel; an atomic counter load-balances).
+// ctypes releases the GIL for the call, so Python callers get true
+// parallelism. num_threads <= 0 means hardware_concurrency.
+// variant: 0 = hazzys, 1 = hazzys_g (damped).
 // ---------------------------------------------------------------------------
+void turbo_decode_batch_mt(const double* sys, const double* par1,
+                           const double* par2, int B, int L,
+                           const int32_t* next_state, const double* out_msg,
+                           const double* out_par, int S, int U,
+                           double noise_variance, int num_iterations,
+                           const int32_t* p_array, int variant,
+                           int num_threads, int32_t* decoded) {
+    if (num_threads <= 0)
+        num_threads = (int)std::thread::hardware_concurrency();
+    num_threads = std::max(1, std::min(num_threads, B));
+
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+        for (int b = next.fetch_add(1); b < B; b = next.fetch_add(1)) {
+            turbo_decode_one(sys + (size_t)b * L, par1 + (size_t)b * L,
+                             par2 + (size_t)b * L, L, next_state, out_msg,
+                             out_par, S, U, noise_variance, num_iterations,
+                             p_array, variant, decoded + (size_t)b * L);
+        }
+    };
+    if (num_threads == 1) { worker(); return; }
+    std::vector<std::thread> threads;
+    threads.reserve(num_threads);
+    for (int i = 0; i < num_threads; ++i) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
+// Back-compat single-threaded hazzys entry point.
 void turbo_decode_hazzys_batch(const double* sys, const double* par1,
                                const double* par2, int B, int L,
                                const int32_t* next_state, const double* out_msg,
                                const double* out_par, int S, int U,
                                double noise_variance, int num_iterations,
                                const int32_t* p_array, int32_t* decoded) {
-    for (int b = 0; b < B; ++b) {
-        turbo_decode_hazzys(sys + (size_t)b * L, par1 + (size_t)b * L,
-                            par2 + (size_t)b * L, L, next_state, out_msg,
-                            out_par, S, U, noise_variance, num_iterations,
-                            p_array, decoded + (size_t)b * L);
-    }
+    turbo_decode_batch_mt(sys, par1, par2, B, L, next_state, out_msg, out_par,
+                          S, U, noise_variance, num_iterations, p_array, 0, 1,
+                          decoded);
 }
 
 }  // extern "C"
