@@ -52,6 +52,7 @@ def _run(cfg, ident):
         print('loaded weights from', cfg.init_nw_weight)
 
     # alternating training schedule (reference main.py:220-237)
+    report_loss, report_ber = [], []
     for epoch in range(1, cfg.num_epoch + 1):
         loss = float('nan')  # stays nan if both phase counts are 0
         if cfg.joint_train:
@@ -62,7 +63,15 @@ def _run(cfg, ident):
             for _ in range(cfg.num_train_dec):
                 loss = trainer.train_epoch(epoch, 'decoder')
         bce, ber = trainer.validate()
+        report_loss.append(bce)
+        report_ber.append(ber)
         metrics.log('epoch', epoch=epoch, loss=loss, val_bce=bce, val_ber=ber)
+
+    if cfg.print_test_traj:
+        # per-epoch validation trajectory (reference main.py:239-242)
+        print('test loss trajectory', report_loss)
+        print('test ber trajectory', report_ber)
+        print('total epoch', cfg.num_epoch)
 
     if cfg.num_epoch > 0:
         os.makedirs('./tmp', exist_ok=True)

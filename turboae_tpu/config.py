@@ -148,10 +148,12 @@ class Config:
     lambda_maxBCE: float = 0.01
 
     # misc (get_args.py:202-226)
-    no_cuda: bool = False                        # parity only; ignored on TPU
+    no_cuda: bool = False              # (inert, parity) device choice is TPU/mesh-driven
     rec_quantize: bool = False
     rec_quantize_level: int = 2
-    rec_quantize_limit: float = 1.0
+    rec_quantize_limit: float = 1.0    # (inert, parity) the reference's rx STE
+                                       # hard-codes +-1.0 clamp and never reads
+                                       # this flag (ste.py:20, channel_ae.py:67-69)
     print_pos_ber: bool = False
     print_pos_power: bool = False
     print_test_traj: bool = False
