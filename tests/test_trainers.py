@@ -64,3 +64,61 @@ def test_deepturbo_training():
     l1 = tr.train_epoch(0, 'decoder', verbose=False)
     l2 = tr.train_epoch(1, 'decoder', verbose=False)
     assert np.isfinite(l1) and np.isfinite(l2)
+
+
+# ----------------------------------------------------------------------
+# Learn-assertions: each secondary family must demonstrably LEARN (loss
+# decreases materially and the decoder beats chance), not just produce
+# finite numbers. Anchored training curves live in RESULTS.md; these are
+# the fast CI regression versions.
+# ----------------------------------------------------------------------
+LEARN = dict(batch_size=32, block_len=16, num_block=128, enc_num_unit=16,
+             dec_num_unit=16, enc_num_layer=2, dec_num_layer=2,
+             num_iteration=2, num_iter_ft=3, snr_points=2)
+
+
+def test_ftae_learns():
+    from turboae_tpu.train.ftae_trainer import FTAETrainer
+    # easy channel (4 dB fwd, clean-ish feedback) so a tiny model converges
+    tr = FTAETrainer(Config(dec_type='turboae_cnn',
+                            train_enc_channel_low=4.0,
+                            train_enc_channel_high=4.0,
+                            train_dec_channel_low=4.0,
+                            train_dec_channel_high=4.0, **LEARN))
+    first = tr.train_epoch(0, 'decoder', verbose=False)
+    for ep in range(1, 8):
+        tr.train_epoch(ep, 'encoder', verbose=False)
+        last = tr.train_epoch(ep, 'decoder', verbose=False)
+    assert last < 0.6 * first, (first, last)
+    _, ber, _ = tr.test(verbose=False)
+    assert ber[-1] < 0.2, ber  # decoder decodes, not chance (0.5)
+
+
+def test_mod_trainer_learns():
+    from turboae_tpu.train.mod_trainer import ModTrainer
+    tr = ModTrainer(Config(train_dec_channel_low=6.0,
+                           train_dec_channel_high=6.0,
+                           train_enc_channel_low=6.0,
+                           train_enc_channel_high=6.0, **LEARN))
+    first = tr.train_epoch(0, 'decoder', verbose=False)
+    for ep in range(1, 8):
+        for phase in ('encoder', 'mod', 'demod'):
+            tr.train_epoch(ep, phase, verbose=False)
+        last = tr.train_epoch(ep, 'decoder', verbose=False)
+    assert last < 0.6 * first, (first, last)
+    _, ber, _ = tr.test(verbose=False)
+    assert ber[-1] < 0.2, ber
+
+
+def test_deepturbo_learns():
+    from turboae_tpu.train.trainer import Trainer
+    cfg = Config(encoder='Turbo_rate3_757', decoder='TurboAE_rate3_cnn',
+                 train_dec_channel_low=3.0, train_dec_channel_high=3.0,
+                 **LEARN)
+    tr = Trainer(cfg)
+    first = tr.train_epoch(0, 'decoder', verbose=False)
+    for ep in range(1, 10):
+        last = tr.train_epoch(ep, 'decoder', verbose=False)
+    assert last < 0.6 * first, (first, last)
+    _, ber = tr.validate(verbose=False)
+    assert ber < 0.2, ber
