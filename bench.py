@@ -14,6 +14,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_BLOCKS_PER_S = 2000.0
+# TPU v5e (1 chip) dense peak: 197 TFLOP/s bf16 / 394 TOPS int8
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
+def _step_flops(step_fn, *args) -> float:
+    """XLA cost-analysis FLOPs of one compiled train step (fwd+bwd+opt)."""
+    try:
+        cost = step_fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get('flops', 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -37,6 +50,13 @@ def main():
     trainer.train_epoch(0, 'decoder', verbose=False)
     trainer.train_epoch(0, 'encoder', verbose=False)
 
+    # FLOPs of each compiled step (cached compile; donation is fine to lower)
+    key0 = jax.random.PRNGKey(0)
+    dec_flops = _step_flops(trainer._step_dec, trainer.params,
+                            trainer.opt_state, key0)
+    enc_flops = _step_flops(trainer._step_enc, trainer.params,
+                            trainer.opt_state, key0)
+
     # timed: alternating schedule 1 enc : 5 dec like the reference epoch
     n_steps = 60
     step_dec = trainer._step_dec
@@ -51,11 +71,18 @@ def main():
     dt = time.perf_counter() - t0
 
     blocks_per_s = n_steps * cfg.batch_size / dt
+    # alternating 1 enc : 5 dec schedule -> weighted FLOPs per step
+    avg_step_flops = (enc_flops + 5.0 * dec_flops) / 6.0
+    flops_per_s = avg_step_flops * n_steps / dt
+    mfu = flops_per_s / V5E_PEAK_BF16_FLOPS
     print(json.dumps({
         'metric': 'train_blocks_per_s',
         'value': round(blocks_per_s, 1),
         'unit': 'blocks/s/chip (rate-1/3, K=100, 6 dec iters, full train step)',
         'vs_baseline': round(blocks_per_s / BASELINE_BLOCKS_PER_S, 3),
+        'mfu': round(mfu, 4),
+        'tflops_per_s': round(flops_per_s / 1e12, 2),
+        'step_flops': {'enc': enc_flops, 'dec': dec_flops},
     }))
 
 

@@ -100,3 +100,18 @@ def test_time_sharded_matches_single_device():
     l1 = tr1.train_epoch(0, 'decoder', verbose=False)
     lt = trt.train_epoch(0, 'decoder', verbose=False)
     assert abs(l1 - lt) < 1e-4, (l1, lt)
+
+
+def test_time_sharded_long_block_k1000():
+    """The SP payoff case: block_len=1000 (the length the reference concedes
+    is memory-hard, docs/howtos.md:66) trains under time-axis sharding on the
+    8-device mesh and matches single-device numerics. Small channel counts
+    keep the CPU run fast; the sharding pattern (all-to-all interleaver +
+    conv halo exchange at L=1000/8 per shard) is the one the TPU run uses."""
+    small = dict(SMALL, block_len=1000, batch_size=4, num_block=4)
+    cfg = Config(shard_axis='time', **small)
+    tr1 = Trainer(Config(**small))
+    trt = Trainer(cfg, mesh=make_mesh((8,)))
+    l1 = tr1.train_epoch(0, 'decoder', verbose=False)
+    lt = trt.train_epoch(0, 'decoder', verbose=False)
+    assert abs(l1 - lt) < 1e-4, (l1, lt)

@@ -86,6 +86,58 @@ class Trellis:
         self.next_state_table = nst
         self.output_table = out
 
+    def visualize(self, trellis_length: int = 2, state_order=None,
+                  state_radius: float = 0.04, edge_colors=None,
+                  save_path: str = None):
+        """Draw a trellis diagram section with matplotlib.
+
+        Parity with commpy's Trellis.visualize
+        (reference commpy/channelcoding/convcode.py:283-338): states as
+        circles in columns, one column per time step, edges colored by input
+        bit and labeled with the output bits. `save_path` writes a PNG
+        instead of showing interactively (headless-friendly).
+        """
+        import matplotlib
+        if save_path:
+            matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+
+        if state_order is None:
+            state_order = list(range(self.number_states))
+        if edge_colors is None:
+            edge_colors = ['#9E1BE0', '#06D65D', '#E0CC38', '#2D56E0']
+        ns = self.number_states
+        fig, ax = plt.subplots(figsize=(2.5 * trellis_length, 0.8 * ns))
+        for t in range(trellis_length):
+            for si, s in enumerate(state_order):
+                x, y = t, ns - 1 - si
+                ax.add_patch(plt.Circle((x, y), state_radius * ns,
+                                        fill=False, color='k'))
+                ax.text(x, y, str(s), ha='center', va='center', fontsize=8)
+                if t == trellis_length - 1:
+                    continue
+                for u in range(self.number_inputs):
+                    nxt = int(self.next_state_table[s, u])
+                    yn = ns - 1 - state_order.index(nxt)
+                    ax.plot([x + state_radius * ns, t + 1 - state_radius * ns],
+                            [y, yn], color=edge_colors[u % len(edge_colors)],
+                            lw=1)
+                    out = dec2bitarray(self.output_table[s, u], self.n)
+                    ax.text(x + 0.25, y + (yn - y) * 0.25 + 0.06,
+                            ''.join(map(str, out)), fontsize=6,
+                            color=edge_colors[u % len(edge_colors)])
+        ax.set_xlim(-0.5, trellis_length - 0.5)
+        ax.set_ylim(-0.7, ns - 0.3)
+        ax.axis('off')
+        ax.set_title(f'{self.number_states}-state trellis '
+                     f'(k={self.k}, n={self.n})')
+        if save_path:
+            fig.savefig(save_path, dpi=120, bbox_inches='tight')
+            plt.close(fig)
+        else:
+            plt.show()
+        return fig
+
     # decomposed bit tables handy for vectorized encoders/decoders
     def output_bits(self) -> np.ndarray:
         """(states, inputs, n) binary output table."""

@@ -178,6 +178,8 @@ class Config:
                                       # XLA all-to-all, convs get halo exchange)
     seed: int = 0                     # master PRNG seed
     legacy_noise: bool = False        # reproduce pre-2022 test-noise bug (README.md:2)
+    use_fused_conv: bool = False      # Pallas fused im2col bf16 conv stacks in the
+                                      # CNN decoder (kernels/conv_stack.py); TPU only
     log_jsonl: str = ''               # if set, structured metrics written here
 
     def replace(self, **kw) -> 'Config':

@@ -96,6 +96,12 @@ def largecnn_apply(params, cfg, received, perms, key=None, training=False) -> jn
     dense = cfg.encoder != 'TurboAE_rate3_cnn'  # see largecnn_init
     dt = _dtype(cfg)
     stackf = cv.dense_stack_apply if dense else cv.stack_apply
+    if cfg.use_fused_conv and not dense:
+        # Pallas fused stack: whole 5-layer stack in one kernel, activations
+        # VMEM-resident, bf16 im2col matmuls (kernels/conv_stack.py)
+        from ..kernels.conv_stack import fused_stack_apply_bf16
+        stackf = lambda w, x, compute_dtype=None: \
+            fused_stack_apply_bf16(w, x).astype(dt)
     p, inv = _perm_pair(perms)
 
     r_sys = received[:, :, 0:1]

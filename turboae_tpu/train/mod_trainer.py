@@ -97,13 +97,15 @@ class ModTrainer:
         cfg = self.cfg
         n = max(1, cfg.num_block // cfg.batch_size)
         start = time.time()
-        total = 0.0
+        # keep per-step losses on device; one host sync at epoch end (a
+        # float() per step would stall dispatch on the remote TPU tunnel)
+        losses = []
         for _ in range(n):
             self.key, k = jax.random.split(self.key)
             self.params, self.opt_state, loss = self._steps[phase](
                 self.params, self.opt_state, k)
-            total += float(loss)
-        avg = total / n
+            losses.append(loss)
+        avg = float(jnp.mean(jnp.stack(losses)))
         if verbose:
             print(f'====> Epoch: {epoch} [{phase}] Average loss: {avg:.8f}'
                   f'  running time', time.time() - start)
@@ -129,12 +131,12 @@ class ModTrainer:
         bers, blers = [], []
         for snr in snrs:
             sigma = M.snr_db2sigma(snr)
-            tb = tbl = 0.0
+            acc = []
             for _ in range(n):
                 self.key, k = jax.random.split(self.key)
-                ber, bler = self._eval(self.params, k, jnp.float32(sigma))
-                tb += float(ber); tbl += float(bler)
-            bers.append(tb / n); blers.append(tbl / n)
+                acc.append(self._eval(self.params, k, jnp.float32(sigma)))
+            bers.append(float(jnp.mean(jnp.stack([a[0] for a in acc]))))
+            blers.append(float(jnp.mean(jnp.stack([a[1] for a in acc]))))
             if verbose:
                 print('Test SNR', snr, 'with ber ', bers[-1],
                       'with bler', blers[-1])

@@ -158,13 +158,18 @@ class Trainer:
         key = (mode, block_len)
         if key not in self._vbl_steps:
             cfg_l = self.cfg.replace(block_len=block_len)
+            # a minimal immutable snapshot: the jitted step closure reads ONLY
+            # cfg/perms/mesh/optimizers, so share exactly those — sharing the
+            # whole __dict__ would alias mutable state (params, key, ...)
+            # across per-length closures
             sub = Trainer.__new__(Trainer)
-            sub.__dict__.update(self.__dict__)
             sub.cfg = cfg_l
+            sub.mesh = self.mesh
+            sub.opt_enc = self.opt_enc
+            sub.opt_dec = self.opt_dec
             # reference draws a fresh interleaver seed in [0, is_interleave)
             # per forward (encoders.py:353-360); we fix one per length bucket
             # (identical distribution over training, static under jit)
-            sub.perms = None
             from ..models.channel_ae import make_perms
             seed = int(self._np_rng.randint(0, max(1, self.cfg.is_interleave)))
             sub.perms = make_perms(cfg_l, block_len=block_len, seed=seed)
