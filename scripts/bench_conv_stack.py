@@ -15,15 +15,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, n=50):
+def make_chained(stack_fn, layers, cin, n):
+    """One jitted program: n stack applications chained through a data
+    dependency (lax.scan). Measures pure device time per application —
+    independent dispatches over the remote tunnel get deduped/cached and
+    produce impossible >peak numbers."""
     import jax
-    fn(*args)  # compile
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    def body(x, _):
+        y = stack_fn(layers, x)
+        # feed a slice of the output back as the next input; tanh keeps the
+        # chain numerically bounded without changing the measured kernel
+        return jnp.tanh(y[:, :, :cin].astype(jnp.float32)), ()
+
+    @jax.jit
+    def run(x0):
+        x, _ = jax.lax.scan(body, x0, None, length=n)
+        return x
+
+    return run
+
+
+def timeit(stack_fn, layers, x, cin, n=100):
+    import jax
+    run = make_chained(stack_fn, layers, cin, n)
+    jax.block_until_ready(run(x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(run(x))
     return (time.perf_counter() - t0) / n
 
 
@@ -48,21 +67,21 @@ def main():
 
     key = jax.random.PRNGKey(0)
     layers = stack_init(key, args.layers, args.Cin, args.C, args.K)
-    x = jax.random.normal(jax.random.PRNGKey(1), (args.B, args.L, args.Cin))
+    xs = [jax.random.normal(jax.random.PRNGKey(1 + i),
+                            (args.B, args.L, args.Cin)) for i in range(16)]
+    x = xs[0]
 
     flops = 2 * args.B * args.L * args.K * args.C * (
         args.Cin + (args.layers - 1) * args.C)
 
-    xla_f32 = jax.jit(lambda l, x: stack_apply(l, x))
-    xla_bf16 = jax.jit(lambda l, x: stack_apply(l, x,
-                                                compute_dtype=jnp.bfloat16))
-    pl_f32 = jax.jit(fused_stack_apply)
-    pl_bf16 = jax.jit(fused_stack_apply_bf16)
+    xla_f32 = lambda l, x: stack_apply(l, x)
+    xla_bf16 = lambda l, x: stack_apply(l, x, compute_dtype=jnp.bfloat16)
 
     results = {}
     for name, fn in [('xla_f32', xla_f32), ('xla_bf16', xla_bf16),
-                     ('pallas_f32', pl_f32), ('pallas_im2col_bf16', pl_bf16)]:
-        dt = timeit(fn, layers, x)
+                     ('pallas_f32', fused_stack_apply),
+                     ('pallas_im2col_bf16', fused_stack_apply_bf16)]:
+        dt = timeit(fn, layers, x, args.Cin)
         results[name] = dt
         print(f'{name:22s} {dt * 1e3:8.3f} ms   '
               f'{flops / dt / 1e12:6.1f} TFLOP/s', flush=True)
@@ -74,8 +93,9 @@ def main():
 
     # numerics cross-check at these shapes
     import numpy as np
-    ref = np.asarray(xla_f32(layers, x))
-    got = np.asarray(pl_bf16(layers, x), dtype=np.float32)
+    ref = np.asarray(jax.jit(xla_f32)(layers, x))
+    got = np.asarray(jax.jit(fused_stack_apply_bf16)(layers, x),
+                     dtype=np.float32)
     rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f'im2col_bf16 max rel err vs f32: {rel:.2e}')
 

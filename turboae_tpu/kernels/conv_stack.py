@@ -18,14 +18,18 @@ Layout notes: C (lane dim) should be a multiple of 128 for full MXU
 utilization; the bench config (C=100) pads to 128 lanes. Tile TB chosen so 2
 activation buffers (TB, L+K-1, C) f32 fit comfortably in ~16 MB VMEM.
 
-MEASURED (1x TPU v5e, B=500 L=100 C=100 K=5, 5 layers): this kernel runs
-1.13 ms vs 0.57 ms for XLA's unfused conv chain — XLA's conv kernels win at
-these shapes because the K-loop of small (TB*L, C) matmuls (C=100 padded to
-128 lanes) underutilizes the MXU more than the per-layer HBM round trips
-cost. Kept as an experimental kernel (numerics validated to 4e-4); NOT wired
-into the model path. To beat XLA here the matmuls need K folded into the
-contraction (im2col in VMEM, (TB*L, K*C) x (K*C, C)) and a bf16 data path —
-future work.
+MEASURED (1x TPU v5e, B=500 L=100 C=100 K=5, 5 layers, dependency-chained
+lax.scan timing so the remote runtime cannot dedupe dispatches):
+    XLA f32 conv chain      0.43 ms
+    XLA bf16 conv chain     0.44 ms
+    pallas f32 (this file)  1.06 ms
+    pallas im2col bf16      1.16 ms
+XLA wins at these shapes. The f32==bf16 XLA timing shows the stack is NOT
+MXU-bound here (it is latency/HBM-bound), so folding K into the contraction
+(im2col, (TB*L, K*C) x (K*C, C)) and the bf16 data path do not pay for the
+kernel's sequential grid + VPU im2col-build overhead. Both variants are kept,
+numerics-tested (tests/test_kernels.py), and wired behind cfg.use_fused_conv
+(default OFF) for future shapes where the trade flips (e.g. much larger C).
 """
 from __future__ import annotations
 
@@ -224,10 +228,12 @@ def _fused_forward_im2col(layers: List[dict], x: jnp.ndarray,
 
     if tile_b <= 0:
         # tile VMEM: 2 bf16 ping-pong buffers (TB, L+K-1, C), the bf16 im2col
-        # temporary (TB*L, K*C), the f32 accumulator (TB*L, C), in/out blocks
-        per_tb = (2 * (L + K - 1) * C * 2 + L * K * C * 2 + L * C * 4
-                  + L * Cin * 2 + L * C * 2)
-        budget = 10 * 1024 * 1024
+        # temporary (TB*L, K*C), the f32 accumulator (TB*L, C), in/out blocks;
+        # Mosaic stack-allocates relayout temporaries on top, so budget ~4x
+        # headroom under the raised 64M scoped limit
+        per_tb = (2 * (L + K - 1) * C * 2 + 2 * L * K * C * 2 + 2 * L * C * 4
+                  + L * Cin * 2 + 2 * L * C * 2)
+        budget = 12 * 1024 * 1024
         tile_b = max(4, min(B, budget // max(1, per_tb)))
         while B % tile_b != 0:
             tile_b -= 1
@@ -256,6 +262,8 @@ def _fused_forward_im2col(layers: List[dict], x: jnp.ndarray,
             pltpu.VMEM((tile_b, L + K - 1, C), jnp.bfloat16),
             pltpu.VMEM((tile_b, L + K - 1, C), jnp.bfloat16),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x.astype(jnp.bfloat16), w0_f, b0_f, wr_f, br_f)
     return out
 
