@@ -173,3 +173,31 @@ def test_standard_turbo_decode_runs():
                        2.0 * p2 - 1 + sigma * rng.randn(L),
                        t, sigma ** 2, 6, inter)
     assert np.sum(dec != msg) <= 1
+
+
+def test_jax_mc_on_device_monte_carlo():
+    """make_jax_turbo_mc fuses bits+encode+noise+decode in one program; its
+    BER must be statistically consistent with the host-oracle pipeline at the
+    same operating point (cross-engine MC agreement, not bit-exactness —
+    the RNGs differ by design)."""
+    from turboae_tpu.classical.turbo import make_jax_turbo_mc
+    import jax
+    t = turbo757_trellis()
+    L = 40
+    inter = RandInterlv(L, 0)
+    step = make_jax_turbo_mc(t, inter.p_array, 6, 'hazzys', batch=512)
+    sigma = 10 ** (1.0 / 20)  # -1 dB: errors are plentiful
+    be, ble = step(jax.random.PRNGKey(0), sigma)
+    ber = float(be) / (512 * L)
+    # host-oracle reference at the same point
+    rng = np.random.RandomState(3)
+    msgs = rng.randint(0, 2, (512, L))
+    codes = turbo_encode_batch(msgs, t, inter.p_array)
+    rx = 2.0 * codes - 1.0 + sigma * rng.randn(512, L, 3)
+    jdec = make_jax_turbo_decoder(t, inter.p_array, 6, 'hazzys')
+    dec = np.asarray(jdec(jnp.asarray(rx[:, :, 0]), jnp.asarray(rx[:, :, 1]),
+                          jnp.asarray(rx[:, :, 2]), sigma ** 2))
+    ber_ref = np.mean(dec != msgs)
+    assert 0 < ber < 0.5
+    # ~512*40 = 20k bits each; at BER ~2-5e-2 the 3-sigma band is ~ +/-40%
+    assert abs(ber - ber_ref) < max(0.5 * ber_ref, 0.01), (ber, ber_ref)

@@ -193,3 +193,50 @@ def make_jax_turbo_decoder(trellis: Trellis, p_array, number_iterations: int,
         return (L_post_2[:, inv] > 0).astype(jnp.int32)
 
     return decode
+
+
+def make_jax_turbo_mc(trellis: Trellis, p_array, number_iterations: int,
+                      variant: str = 'hazzys', batch: int = 4096):
+    """Fully on-device Monte-Carlo step for classical turbo over AWGN.
+
+    One fused XLA program per call: sample bits -> turbo-encode (table-driven
+    lax.scan, bit-exact vs the host oracle — see models/deepturbo.py tests)
+    -> BPSK + AWGN -> iterative batched log-BCJR decode -> error tallies.
+    Removes the host encode/noise bottleneck (~1.3k blocks/s on this box)
+    that otherwise caps deep-tail sweeps; the reference fans out per-block
+    Python over mp.Pool instead (commpy/turbo_codes_benchmark.py, ~1
+    block/s/core).
+
+    fn(key, sigma) -> (bit_errors, block_errors) int32 scalars on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .convcode import make_jax_encoder
+
+    enc = make_jax_encoder(trellis, 'rsc')
+    dec = make_jax_turbo_decoder(trellis, p_array, number_iterations, variant)
+    M = trellis.total_memory
+    p_np = np.asarray(p_array)
+    L = p_np.shape[0]
+
+    def step(key, sigma):
+        p = jnp.asarray(p_np)
+        kb, kn = jax.random.split(key)
+        msgs = jax.random.bernoulli(kb, 0.5, (batch, L)).astype(jnp.int32)
+        s1 = enc(msgs).reshape(batch, L + M, 2)
+        sys_full = s1[:, :, 0]
+        par1 = s1[:, :L, 1]
+        # length-L p_array permutes the first L entries of the padded sys
+        # stream and drops the termination tail (commpy interlv semantics)
+        inter = jnp.take(sys_full, p, axis=1)
+        s2 = enc(inter).reshape(batch, L + M, 2)
+        par2 = s2[:, :L, 1]
+        codes = jnp.stack([sys_full[:, :L], par1, par2], axis=2).astype(
+            jnp.float32)
+        rx = 2.0 * codes - 1.0 + sigma * jax.random.normal(kn, codes.shape)
+        bits = dec(rx[:, :, 0], rx[:, :, 1], rx[:, :, 2], sigma ** 2)
+        err = bits != msgs
+        return err.sum(), (err.sum(axis=1) > 0).sum()
+
+    return jax.jit(step)

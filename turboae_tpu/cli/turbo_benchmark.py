@@ -31,7 +31,11 @@ def get_bench_args(argv=None):
     p.add_argument('-snr_test_end', type=float, default=2.0)
     p.add_argument('-snr_points', type=int, default=8)
     p.add_argument('-batch_size', type=int, default=1000)
-    p.add_argument('-engine', choices=['native', 'numpy', 'jax'], default='native')
+    p.add_argument('-engine', choices=['native', 'numpy', 'jax', 'jax_mc'],
+                   default='native',
+                   help='jax_mc: fully on-device Monte-Carlo (bits+encode+'
+                        'noise+decode in one XLA program) — the deep-tail '
+                        'engine for the accelerator')
     p.add_argument('-variant', choices=['hazzys', 'hazzys_g'], default='hazzys')
     p.add_argument('-num_threads', type=int, default=0,
                    help='native engine worker threads (<=0: all cores)')
@@ -60,6 +64,14 @@ def run_benchmark(args):
         import jax
         jax_decoder = jax.jit(make_jax_turbo_decoder(
             trellis, inter.p_array, args.num_dec_iter, args.variant))
+    mc_step = None
+    if args.engine == 'jax_mc':
+        from ..classical.turbo import make_jax_turbo_mc
+        import jax
+        mc_step = make_jax_turbo_mc(trellis, inter.p_array,
+                                    args.num_dec_iter, args.variant,
+                                    batch=args.batch_size)
+        mc_key = jax.random.PRNGKey(args.seed)
 
     interval = (args.snr_test_end - args.snr_test_start) / max(1, args.snr_points - 1)
     snrs = [args.snr_test_start + interval * i for i in range(args.snr_points)]
@@ -73,6 +85,16 @@ def run_benchmark(args):
         n_done = 0
         while n_done < args.num_block:
             B = min(args.batch_size, args.num_block - n_done)
+            if args.engine == 'jax_mc':
+                import jax
+                mc_key, k = jax.random.split(mc_key)
+                be, ble = mc_step(k, sigma)   # full batch_size on device
+                n_err += int(be)
+                n_block_err += int(ble)
+                n_done += args.batch_size
+                if args.target_bit_err and n_err >= args.target_bit_err:
+                    break
+                continue
             msgs = rng.randint(0, 2, (B, args.block_len))
             codes = turbo_encode_batch(msgs, trellis, inter.p_array)
             rx = 2.0 * codes - 1.0 + sigma * rng.randn(B, args.block_len, 3)
