@@ -30,6 +30,13 @@ def _step_flops(step_fn, *args) -> float:
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch_size', type=int, default=500,
+                    help='default 500 = the reference training recipe; '
+                         'larger batches measure the chip ceiling')
+    args = ap.parse_args()
+
     import jax
     jax.config.update('jax_compilation_cache_dir',
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -41,7 +48,8 @@ def main():
     # flagship training config (reference tmp/114255_log.txt run: batch 500,
     # K=100); bfloat16 conv compute — verified loss-equivalent to f32
     # (0.1580 vs 0.1579 after identical schedules) and +25% throughput
-    cfg = Config(batch_size=500, block_len=100, num_block=500,
+    cfg = Config(batch_size=args.batch_size, block_len=100,
+                 num_block=args.batch_size,
                  train_dec_channel_low=-1.5, train_dec_channel_high=2.0,
                  dtype='bfloat16')
     trainer = Trainer(cfg)
