@@ -134,7 +134,9 @@ def run_benchmark(args):
         bers.append(ber)
         blers.append(bler)
         print(f'[testing]SNR: {snr:.2f}, BER: {ber:.3e}, BLER: {bler:.3e}, '
-              f'{time.time() - t0:.1f}s ({n_done / (time.time() - t0):.0f} blk/s)')
+              f'{n_err} bit errs / {n_done} blocks, '
+              f'{time.time() - t0:.1f}s ({n_done / (time.time() - t0):.0f} blk/s)',
+              flush=True)
 
     print('[Result]SNR:', snrs)
     print('[Result]BER:', bers)
