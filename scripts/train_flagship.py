@@ -47,6 +47,8 @@ def main():
     p.add_argument('--dec_num_layer', type=int, default=5)
     p.add_argument('--train_enc_channel_low', type=float, default=1.0)
     p.add_argument('--train_enc_channel_high', type=float, default=1.0)
+    p.add_argument('--train_dec_channel_low', type=float, default=-1.5)
+    p.add_argument('--train_dec_channel_high', type=float, default=2.0)
     p.add_argument('--fresh_opt', action='store_true',
                    help='on resume, load params only and re-init the '
                         'optimizer state (use when starting a new phase, '
@@ -80,6 +82,8 @@ def main():
                  dec_num_layer=args.dec_num_layer,
                  train_enc_channel_low=args.train_enc_channel_low,
                  train_enc_channel_high=args.train_enc_channel_high,
+                 train_dec_channel_low=args.train_dec_channel_low,
+                 train_dec_channel_high=args.train_dec_channel_high,
                  train_channel_mode=args.train_channel_mode,
                  test_channel_mode=args.train_channel_mode,
                  num_train_enc=args.num_train_enc,
