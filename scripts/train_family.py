@@ -42,6 +42,8 @@ def main():
     # mod
     p.add_argument('--mod_rate', type=int, default=2)
     p.add_argument('--mod_pc', default='block_power')
+    p.add_argument('--mod_lr', type=float, default=0.005)
+    p.add_argument('--demod_lr', type=float, default=0.005)
     p.add_argument('--num_train_mod', type=int, default=1)
     p.add_argument('--num_train_demod', type=int, default=5)
     p.add_argument('--train_enc_channel_low', type=float, default=1.0)
@@ -77,6 +79,7 @@ def main():
                  fb_channel_high=args.fb_channel_high,
                  dec_type=args.dec_type, cnn_type=args.cnn_type,
                  mod_rate=args.mod_rate, mod_pc=args.mod_pc,
+                 mod_lr=args.mod_lr, demod_lr=args.demod_lr,
                  num_train_mod=args.num_train_mod,
                  num_train_demod=args.num_train_demod,
                  snr_test_start=args.snr_test_start,
