@@ -18,15 +18,20 @@ BASELINE_BLOCKS_PER_S = 2000.0
 V5E_PEAK_BF16_FLOPS = 197e12
 
 
-def _step_flops(step_fn, *args) -> float:
-    """XLA cost-analysis FLOPs of one compiled train step (fwd+bwd+opt)."""
+def _step_flops(step_fn, *args):
+    """XLA cost-analysis FLOPs of one compiled train step (fwd+bwd+opt).
+
+    Returns None when cost analysis is unavailable so the JSON reports
+    mfu/tflops as null rather than plausible-looking zeros."""
     try:
         cost = step_fn.lower(*args).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         return float(cost.get('flops', 0.0))
-    except Exception:
-        return 0.0
+    except Exception as e:
+        print(f'warning: cost_analysis failed ({e!r}); mfu unreported',
+              file=sys.stderr)
+        return None
 
 
 def main():
@@ -79,19 +84,22 @@ def main():
     dt = time.perf_counter() - t0
 
     blocks_per_s = n_steps * cfg.batch_size / dt
-    # alternating 1 enc : 5 dec schedule -> weighted FLOPs per step
-    avg_step_flops = (enc_flops + 5.0 * dec_flops) / 6.0
-    flops_per_s = avg_step_flops * n_steps / dt
-    mfu = flops_per_s / V5E_PEAK_BF16_FLOPS
-    print(json.dumps({
+    out = {
         'metric': 'train_blocks_per_s',
         'value': round(blocks_per_s, 1),
         'unit': 'blocks/s/chip (rate-1/3, K=100, 6 dec iters, full train step)',
         'vs_baseline': round(blocks_per_s / BASELINE_BLOCKS_PER_S, 3),
-        'mfu': round(mfu, 4),
-        'tflops_per_s': round(flops_per_s / 1e12, 2),
-        'step_flops': {'enc': enc_flops, 'dec': dec_flops},
-    }))
+    }
+    if enc_flops is not None and dec_flops is not None:
+        # alternating 1 enc : 5 dec schedule -> weighted FLOPs per step
+        avg_step_flops = (enc_flops + 5.0 * dec_flops) / 6.0
+        flops_per_s = avg_step_flops * n_steps / dt
+        out['mfu'] = round(flops_per_s / V5E_PEAK_BF16_FLOPS, 4)
+        out['tflops_per_s'] = round(flops_per_s / 1e12, 2)
+        out['step_flops'] = {'enc': enc_flops, 'dec': dec_flops}
+    else:
+        out['mfu'] = out['tflops_per_s'] = out['step_flops'] = None
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

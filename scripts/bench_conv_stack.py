@@ -67,9 +67,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     layers = stack_init(key, args.layers, args.Cin, args.C, args.K)
-    xs = [jax.random.normal(jax.random.PRNGKey(1 + i),
-                            (args.B, args.L, args.Cin)) for i in range(16)]
-    x = xs[0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (args.B, args.L, args.Cin))
 
     flops = 2 * args.B * args.L * args.K * args.C * (
         args.Cin + (args.layers - 1) * args.C)

@@ -51,6 +51,14 @@ def main():
     p.add_argument('--snr_test_start', type=float, default=-2.0)
     p.add_argument('--snr_test_end', type=float, default=2.0)
     p.add_argument('--snr_points', type=int, default=5)
+    p.add_argument('--max_backoffs', type=int, default=4,
+                   help='on loss divergence (NaN or >3x recent median), '
+                        'reload the last checkpoint and halve all phase lrs, '
+                        'up to this many times before giving up')
+    p.add_argument('--val_every', type=int, default=10,
+                   help='every N epochs run a small test sweep; the best '
+                        'mid-SNR BER epoch is retained as <ckpt>.best')
+    p.add_argument('--val_num_block', type=int, default=2000)
     args = p.parse_args()
 
     import jax
@@ -68,36 +76,40 @@ def main():
     os.makedirs(os.path.dirname(ckpt) or '.', exist_ok=True)
     os.makedirs(os.path.dirname(metrics_path) or '.', exist_ok=True)
 
-    cfg = Config(batch_size=args.batch_size, block_len=args.block_len,
-                 num_block=args.num_block, loss=args.loss,
-                 enc_lr=args.enc_lr, dec_lr=args.dec_lr,
-                 num_train_enc=args.num_train_enc,
-                 num_train_dec=args.num_train_dec,
-                 train_enc_channel_low=args.train_enc_channel_low,
-                 train_enc_channel_high=args.train_enc_channel_high,
-                 fb_channel_low=args.fb_channel_low,
-                 fb_channel_high=args.fb_channel_high,
-                 dec_type=args.dec_type, cnn_type=args.cnn_type,
-                 mod_rate=args.mod_rate, mod_pc=args.mod_pc,
-                 mod_lr=args.mod_lr, demod_lr=args.demod_lr,
-                 num_train_mod=args.num_train_mod,
-                 num_train_demod=args.num_train_demod,
-                 snr_test_start=args.snr_test_start,
-                 snr_test_end=args.snr_test_end,
-                 snr_points=args.snr_points)
+    def build_cfg(lrs):
+        return Config(batch_size=args.batch_size, block_len=args.block_len,
+                      num_block=args.num_block, loss=args.loss,
+                      enc_lr=lrs['enc'], dec_lr=lrs['dec'],
+                      num_train_enc=args.num_train_enc,
+                      num_train_dec=args.num_train_dec,
+                      train_enc_channel_low=args.train_enc_channel_low,
+                      train_enc_channel_high=args.train_enc_channel_high,
+                      fb_channel_low=args.fb_channel_low,
+                      fb_channel_high=args.fb_channel_high,
+                      dec_type=args.dec_type, cnn_type=args.cnn_type,
+                      mod_rate=args.mod_rate, mod_pc=args.mod_pc,
+                      mod_lr=lrs['mod'], demod_lr=lrs['demod'],
+                      num_train_mod=args.num_train_mod,
+                      num_train_demod=args.num_train_demod,
+                      snr_test_start=args.snr_test_start,
+                      snr_test_end=args.snr_test_end,
+                      snr_points=args.snr_points)
 
-    if args.family == 'ftae':
-        from turboae_tpu.train.ftae_trainer import FTAETrainer
-        trainer = FTAETrainer(cfg)
-        phases = (['encoder'] * cfg.num_train_enc
-                  + ['decoder'] * cfg.num_train_dec)
-    else:
+    def build_trainer(cfg):
+        if args.family == 'ftae':
+            from turboae_tpu.train.ftae_trainer import FTAETrainer
+            return FTAETrainer(cfg), (['encoder'] * cfg.num_train_enc
+                                      + ['decoder'] * cfg.num_train_dec)
         from turboae_tpu.train.mod_trainer import ModTrainer
-        trainer = ModTrainer(cfg)
-        phases = (['encoder'] * cfg.num_train_enc
-                  + ['decoder'] * cfg.num_train_dec
-                  + ['mod'] * cfg.num_train_mod
-                  + ['demod'] * cfg.num_train_demod)
+        return ModTrainer(cfg), (['encoder'] * cfg.num_train_enc
+                                 + ['decoder'] * cfg.num_train_dec
+                                 + ['mod'] * cfg.num_train_mod
+                                 + ['demod'] * cfg.num_train_demod)
+
+    lrs = {'enc': args.enc_lr, 'dec': args.dec_lr,
+           'mod': args.mod_lr, 'demod': args.demod_lr}
+    cfg = build_cfg(lrs)
+    trainer, phases = build_trainer(cfg)
 
     metrics = MetricsLogger(metrics_path)
     start_epoch = 0
@@ -110,8 +122,16 @@ def main():
             trainer.params = loaded
         print(f'resumed from {args.resume} at epoch {start_epoch}', flush=True)
 
+    from turboae_tpu.train.guard import DivergenceGuard, BestTracker, backoff_lrs
+    guard = DivergenceGuard()
+    best = BestTracker()
+    backoffs = 0
+    last_good_epoch = start_epoch
+
     t_start = time.time()
-    for epoch in range(start_epoch + 1, args.epochs + 1):
+    epoch = start_epoch
+    while epoch < args.epochs:
+        epoch += 1
         t0 = time.time()
         losses = {}
         for phase in phases:
@@ -124,10 +144,47 @@ def main():
         metrics.log('epoch', epoch=epoch, seconds=dt, **{
             f'{k}_loss': v for k, v in losses.items()})
 
+        if guard.check(losses):
+            backoffs += 1
+            if backoffs > args.max_backoffs:
+                print(f'DIVERGED at epoch {epoch}: {msg}; backoff limit '
+                      f'({args.max_backoffs}) exhausted, stopping', flush=True)
+                metrics.log('diverged', epoch=epoch, action='abort', **losses)
+                break
+            lrs = backoff_lrs(lrs)
+            print(f'DIVERGED at epoch {epoch}: {msg}; reloading '
+                  f'epoch-{last_good_epoch} checkpoint with lrs {lrs}',
+                  flush=True)
+            metrics.log('diverged', epoch=epoch, action='backoff',
+                        lrs=lrs, reload_epoch=last_good_epoch, **losses)
+            cfg = build_cfg(lrs)
+            trainer, phases = build_trainer(cfg)
+            if os.path.exists(ckpt) and last_good_epoch > start_epoch:
+                trainer.params = load_checkpoint(ckpt, trainer.params)
+            elif args.resume and os.path.exists(args.resume):
+                trainer.params = load_checkpoint(args.resume, trainer.params)
+            guard.reset()
+            epoch = last_good_epoch
+            continue
+
+        if args.val_every and epoch % args.val_every == 0:
+            trainer.cfg = cfg.replace(num_block=args.val_num_block)
+            vsnrs, vber, vbler = trainer.test(verbose=False)
+            trainer.cfg = cfg
+            mid = vber[len(vber) // 2]
+            print(f'  val@{epoch}: mid-SNR ber {mid:.3g} '
+                  f'(ber {["%.3g" % b for b in vber]})', flush=True)
+            metrics.log('val', epoch=epoch, snrs=vsnrs, ber=vber, bler=vbler)
+            if best.update(mid, epoch):
+                save_checkpoint(ckpt + '.best', trainer.params,
+                                trainer.opt_state, step=epoch)
+                metrics.log('best', epoch=epoch, ber=mid, path=ckpt + '.best')
+
         if epoch % args.ckpt_every == 0 or epoch == args.epochs:
             save_checkpoint(ckpt, trainer.params, trainer.opt_state,
                             step=epoch)
             metrics.log('checkpoint', epoch=epoch, path=ckpt)
+            last_good_epoch = epoch
 
         if args.time_budget_s and time.time() - t_start > args.time_budget_s:
             print(f'time budget reached at epoch {epoch}; checkpointing and '
@@ -136,8 +193,9 @@ def main():
                             step=epoch)
             break
 
-    trainer.cfg = cfg.replace(num_block=min(args.test_num_block,
-                                            max(cfg.num_block, 1)))
+    # final eval at the full --test_num_block (an earlier revision clamped
+    # this to num_block, silently weakening deep-tail statistics)
+    trainer.cfg = cfg.replace(num_block=args.test_num_block)
     snrs, ber, bler = trainer.test(verbose=True)
     metrics.log('test', snrs=snrs, ber=ber, bler=bler)
     metrics.close()

@@ -45,6 +45,10 @@ def main():
                    help='e.g. Turbo_rate3_757 for DeepTurbo')
     p.add_argument('--decoder', default='TurboAE_rate3_cnn')
     p.add_argument('--dec_num_layer', type=int, default=5)
+    p.add_argument('--enc_num_unit', type=int, default=100)
+    p.add_argument('--dec_num_unit', type=int, default=100)
+    p.add_argument('--num_iteration', type=int, default=6)
+    p.add_argument('--snr_points', type=int, default=12)
     p.add_argument('--train_enc_channel_low', type=float, default=1.0)
     p.add_argument('--train_enc_channel_high', type=float, default=1.0)
     p.add_argument('--train_dec_channel_low', type=float, default=-1.5)
@@ -60,6 +64,16 @@ def main():
                    help='capture a jax.profiler timeline of the second '
                         'epoch (post-compile) into this directory; view '
                         'with tensorboard/xprof')
+    p.add_argument('--test_every', type=int, default=0,
+                   help='every N epochs run the quick 12-SNR test sweep '
+                        '(test_num_block blocks/point), log it to metrics, '
+                        'and snapshot the checkpoint as <ckpt>.e<epoch> so '
+                        'the best epoch can be promoted after a 100k eval')
+    p.add_argument('--test_num_block', type=int, default=10000)
+    p.add_argument('--max_backoffs', type=int, default=4,
+                   help='on loss divergence (NaN or >3x recent median), '
+                        'reload the last checkpoint and halve both lrs, up '
+                        'to this many times before giving up')
     args = p.parse_args()
 
     import jax
@@ -76,20 +90,28 @@ def main():
     os.makedirs(os.path.dirname(args.ckpt) or '.', exist_ok=True)
     os.makedirs(os.path.dirname(args.metrics) or '.', exist_ok=True)
 
-    cfg = Config(batch_size=args.batch_size, block_len=args.block_len,
-                 num_block=args.num_block,
-                 encoder=args.encoder, decoder=args.decoder,
-                 dec_num_layer=args.dec_num_layer,
-                 train_enc_channel_low=args.train_enc_channel_low,
-                 train_enc_channel_high=args.train_enc_channel_high,
-                 train_dec_channel_low=args.train_dec_channel_low,
-                 train_dec_channel_high=args.train_dec_channel_high,
-                 train_channel_mode=args.train_channel_mode,
-                 test_channel_mode=args.train_channel_mode,
-                 num_train_enc=args.num_train_enc,
-                 num_train_dec=args.num_train_dec,
-                 loss=args.loss, enc_lr=args.enc_lr, dec_lr=args.dec_lr,
-                 dtype=args.dtype)
+    def build_cfg(enc_lr, dec_lr):
+        return Config(batch_size=args.batch_size, block_len=args.block_len,
+                      num_block=args.num_block,
+                      encoder=args.encoder, decoder=args.decoder,
+                      dec_num_layer=args.dec_num_layer,
+                      enc_num_unit=args.enc_num_unit,
+                      dec_num_unit=args.dec_num_unit,
+                      num_iteration=args.num_iteration,
+                      snr_points=args.snr_points,
+                      train_enc_channel_low=args.train_enc_channel_low,
+                      train_enc_channel_high=args.train_enc_channel_high,
+                      train_dec_channel_low=args.train_dec_channel_low,
+                      train_dec_channel_high=args.train_dec_channel_high,
+                      train_channel_mode=args.train_channel_mode,
+                      test_channel_mode=args.train_channel_mode,
+                      num_train_enc=args.num_train_enc,
+                      num_train_dec=args.num_train_dec,
+                      loss=args.loss, enc_lr=enc_lr, dec_lr=dec_lr,
+                      dtype=args.dtype)
+
+    lrs = {'enc': args.enc_lr, 'dec': args.dec_lr}
+    cfg = build_cfg(lrs['enc'], lrs['dec'])
     trainer = Trainer(cfg)
     metrics = MetricsLogger(args.metrics)
 
@@ -120,8 +142,18 @@ def main():
         print('warning: fewer than 2 epochs to run; tracing epoch 0 '
               '(timeline includes compilation)', flush=True)
 
+    from turboae_tpu.train.guard import DivergenceGuard, BestTracker, backoff_lrs
+    guard = DivergenceGuard()
+    best = BestTracker()
+    backoffs = 0
+    last_good_epoch = start_epoch
+
     t_start = time.time()
-    for i, epoch in enumerate(range(start_epoch + 1, args.epochs + 1)):
+    epoch = start_epoch
+    i = -1
+    while epoch < args.epochs:
+        epoch += 1
+        i += 1
         t0 = time.time()
         tracing = trace(args.trace_dir) if (args.trace_dir and i == trace_iter) \
             else contextlib.nullcontext()
@@ -138,15 +170,61 @@ def main():
         metrics.log('epoch', epoch=epoch, enc_loss=enc_loss,
                     dec_loss=dec_loss, seconds=dt)
 
+        losses = {'enc': enc_loss, 'dec': dec_loss}
+        if cfg.num_train_enc == 0:
+            losses.pop('enc')  # DeepTurbo: encoder phase never runs
+        if guard.check(losses):
+            backoffs += 1
+            if backoffs > args.max_backoffs:
+                print(f'DIVERGED at epoch {epoch}: losses {losses}; backoff '
+                      f'limit ({args.max_backoffs}) exhausted, stopping',
+                      flush=True)
+                metrics.log('diverged', epoch=epoch, action='abort', **losses)
+                break
+            lrs = backoff_lrs(lrs)
+            print(f'DIVERGED at epoch {epoch}: losses {losses}; reloading '
+                  f'epoch-{last_good_epoch} checkpoint with lrs {lrs}',
+                  flush=True)
+            metrics.log('diverged', epoch=epoch, action='backoff',
+                        lrs=lrs, reload_epoch=last_good_epoch, **losses)
+            cfg = build_cfg(lrs['enc'], lrs['dec'])
+            old_params = trainer.params
+            trainer = Trainer(cfg)
+            if os.path.exists(args.ckpt) and last_good_epoch > start_epoch:
+                trainer.params = load_checkpoint(args.ckpt, trainer.params)
+            elif args.resume and os.path.exists(args.resume):
+                trainer.params = load_checkpoint(args.resume, trainer.params)
+            del old_params
+            guard.reset()
+            epoch = last_good_epoch
+            continue
+
         if epoch % args.val_every == 0:
             bce, ber = trainer.validate(verbose=False)
             print(f'  validate: bce {bce:.6f} ber {ber:.6f}', flush=True)
             metrics.log('validate', epoch=epoch, bce=bce, ber=ber)
+            if best.update(ber, epoch):
+                save_checkpoint(args.ckpt + '.best', trainer.params,
+                                trainer.opt_state, step=epoch)
+                metrics.log('best', epoch=epoch, ber=ber,
+                            path=args.ckpt + '.best')
+
+        if args.test_every and epoch % args.test_every == 0:
+            t_test = trainer.cfg
+            trainer.cfg = cfg.replace(num_block=args.test_num_block)
+            snrs, ber_t, bler_t = trainer.test(verbose=False)
+            trainer.cfg = t_test
+            print(f'  test@{epoch}: ber {["%.3g" % b for b in ber_t]}',
+                  flush=True)
+            metrics.log('test', epoch=epoch, snrs=snrs, ber=ber_t, bler=bler_t)
+            save_checkpoint(f'{args.ckpt}.e{epoch}', trainer.params,
+                            trainer.opt_state, step=epoch)
 
         if epoch % args.ckpt_every == 0 or epoch == args.epochs:
             save_checkpoint(args.ckpt, trainer.params, trainer.opt_state,
                             step=epoch)
             metrics.log('checkpoint', epoch=epoch, path=args.ckpt)
+            last_good_epoch = epoch
 
         if args.time_budget_s and time.time() - t_start > args.time_budget_s:
             print(f'time budget reached at epoch {epoch}; checkpointing and '

@@ -122,3 +122,63 @@ def test_deepturbo_learns():
     assert last < 0.6 * first, (first, last)
     _, ber = tr.validate(verbose=False)
     assert ber < 0.2, ber
+
+
+# ---------------------------------------------------------------------------
+# Divergence guard + best-checkpoint retention (round-2 verdict item 6: the
+# mod-AE lr-5e-3 explosion at epoch 40 burned chip hours undetected)
+# ---------------------------------------------------------------------------
+
+def test_guard_trips_on_nan_and_inf():
+    from turboae_tpu.train.guard import DivergenceGuard
+    g = DivergenceGuard()
+    assert g.check(float('nan'))
+    assert g.check({'dec': float('inf'), 'enc': 0.1})
+
+
+def test_guard_trips_on_explosion_vs_median():
+    from turboae_tpu.train.guard import DivergenceGuard
+    g = DivergenceGuard(warmup=3)
+    for v in (0.69, 0.5, 0.4, 0.35):
+        assert not g.check(v)
+    # 0.4 median * 3 = 1.2; 8.0 is the mod-AE explosion signature
+    assert g.check(8.0)
+
+
+def test_guard_hard_max_trips_inside_warmup():
+    from turboae_tpu.train.guard import DivergenceGuard
+    g = DivergenceGuard(warmup=3, hard_max=5.0)
+    # first epoch already saturated-BCE garbage: must trip even with no
+    # history (the median would otherwise be poisoned)
+    assert g.check(16.0)
+
+
+def test_guard_tolerates_decline_and_late_noise():
+    from turboae_tpu.train.guard import DivergenceGuard
+    g = DivergenceGuard(warmup=3)
+    for v in (0.69, 0.3, 0.1, 0.05, 0.02, 0.01):
+        assert not g.check(v)
+    # late-training noise: 1e-4-scale wiggle must NOT trip (min_jump floor)
+    g2 = DivergenceGuard(warmup=3)
+    for v in (2e-4, 1e-4, 1.2e-4, 3e-4, 2.5e-4):
+        assert not g2.check(v)
+
+
+def test_guard_reset_and_backoff_lrs():
+    from turboae_tpu.train.guard import DivergenceGuard, backoff_lrs
+    g = DivergenceGuard(warmup=1)
+    assert not g.check(0.1)
+    g.reset()
+    assert not g.check(0.4)  # fresh history: no ratio comparison to 0.1
+    lrs = backoff_lrs({'enc': 1e-3, 'mod': 5e-3})
+    assert lrs == {'enc': 5e-4, 'mod': 2.5e-3}
+
+
+def test_best_tracker():
+    from turboae_tpu.train.guard import BestTracker
+    b = BestTracker()
+    assert b.update(0.1, 1)
+    assert not b.update(0.2, 2)
+    assert not b.update(float('nan'), 3)
+    assert b.update(0.05, 4)
+    assert b.best_epoch == 4

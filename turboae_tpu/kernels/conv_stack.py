@@ -69,11 +69,14 @@ def _stack_kernel(x_ref, w0_ref, b0_ref, wr_ref, br_ref, out_ref,
         acc += jnp.dot(xs, w0_ref[k], preferred_element_type=jnp.float32)
     y = _elu(acc + b0_ref[0])
     buf_a[:, pad:pad + L, :] = y.reshape(TB, L, C)
-    # zero the halo once; later layers reuse it
-    buf_a[:, :pad, :] = jnp.zeros((TB, pad, C), jnp.float32)
-    buf_a[:, pad + L:, :] = jnp.zeros((TB, K - 1 - pad, C), jnp.float32)
-    buf_b[:, :pad, :] = jnp.zeros((TB, pad, C), jnp.float32)
-    buf_b[:, pad + L:, :] = jnp.zeros((TB, K - 1 - pad, C), jnp.float32)
+    # zero the halo once; later layers reuse it (K=1 has no halo and Mosaic
+    # may reject zero-size Ref stores, so the guards are Python-static)
+    if pad:
+        buf_a[:, :pad, :] = jnp.zeros((TB, pad, C), jnp.float32)
+        buf_b[:, :pad, :] = jnp.zeros((TB, pad, C), jnp.float32)
+    if K - 1 - pad:
+        buf_a[:, pad + L:, :] = jnp.zeros((TB, K - 1 - pad, C), jnp.float32)
+        buf_b[:, pad + L:, :] = jnp.zeros((TB, K - 1 - pad, C), jnp.float32)
 
     # ---- layers 1..num_layer-1: VMEM-resident ping-pong ----
     src, dst = buf_a, buf_b
@@ -181,12 +184,15 @@ def _stack_kernel_im2col(x_ref, w0_ref, b0_ref, wr_ref, br_ref, out_ref,
     acc = jnp.dot(cols, w0_ref[:], preferred_element_type=jnp.float32)
     y = _elu(acc + b0_ref[0])
     buf_a[:, pad:pad + L, :] = y.reshape(TB, L, C).astype(jnp.bfloat16)
-    zeros_lo = jnp.zeros((TB, pad, C), jnp.bfloat16)
-    zeros_hi = jnp.zeros((TB, K - 1 - pad, C), jnp.bfloat16)
-    buf_a[:, :pad, :] = zeros_lo
-    buf_a[:, pad + L:, :] = zeros_hi
-    buf_b[:, :pad, :] = zeros_lo
-    buf_b[:, pad + L:, :] = zeros_hi
+    # K=1 has no halo; zero-size Ref stores may be rejected by Mosaic
+    if pad:
+        zeros_lo = jnp.zeros((TB, pad, C), jnp.bfloat16)
+        buf_a[:, :pad, :] = zeros_lo
+        buf_b[:, :pad, :] = zeros_lo
+    if K - 1 - pad:
+        zeros_hi = jnp.zeros((TB, K - 1 - pad, C), jnp.bfloat16)
+        buf_a[:, pad + L:, :] = zeros_hi
+        buf_b[:, pad + L:, :] = zeros_hi
 
     # ---- layers 1..num_layer-1: VMEM-resident ping-pong ----
     src, dst = buf_a, buf_b
