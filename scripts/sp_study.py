@@ -49,12 +49,13 @@ def main():
     n_dev = len(jax.devices())
     print(f'{n_dev} {jax.default_backend()} devices')
 
-    for shard in ('batch', 'time'):
+    for shard in ('single', 'batch', 'time'):
         cfg = Config(block_len=args.block_len, batch_size=args.batch_size,
                      num_block=args.batch_size,
                      enc_num_unit=args.num_units, dec_num_unit=args.num_units,
-                     num_iteration=args.num_iteration, shard_axis=shard)
-        mesh = make_mesh((n_dev,))
+                     num_iteration=args.num_iteration,
+                     shard_axis='batch' if shard == 'single' else shard)
+        mesh = None if shard == 'single' else make_mesh((n_dev,))
         tr = Trainer(cfg, mesh=mesh)
         key = jax.random.PRNGKey(0)
         lowered = tr._step_dec.lower(tr.params, tr.opt_state, key)

@@ -189,3 +189,44 @@ def test_deepturbo_encoder_on_device():
     ref = turbo_encode_batch(np.asarray(bits[:, :, 0]).astype(int),
                              turbo757_trellis(), np.asarray(perms['p1']))
     np.testing.assert_array_equal(np.asarray(codes), 2.0 * ref - 1.0)
+
+
+def test_decoder_scan_unroll_equivalence():
+    """cfg.scan_unroll is a pure scheduling lever: fully-unrolled scan must
+    match the rolled loop bit-for-bit (same program semantics, different XLA
+    loop structure)."""
+    cfg = Config(**SMALL)
+    key = jax.random.PRNGKey(7)
+    dec_init, dec_apply = make_decoder(cfg)
+    params = dec_init(key, cfg)
+    perms = make_perms(cfg)
+    received = jax.random.normal(key, (cfg.batch_size, cfg.block_len, 3))
+    out_rolled = dec_apply(params, cfg, received, perms)
+    cfg_u = cfg.replace(scan_unroll=cfg.num_iteration - 1)
+    out_unrolled = dec_apply(params, cfg_u, received, perms)
+    np.testing.assert_array_equal(np.asarray(out_rolled),
+                                  np.asarray(out_unrolled))
+
+
+def test_multi_step_training_matches_single_step():
+    """cfg.steps_per_call fuses n optimizer steps into one lax.scan dispatch;
+    the PRNG chain and updates must match the host-loop path exactly."""
+    from turboae_tpu.train.trainer import Trainer
+    cfg = Config(batch_size=8, block_len=12, num_block=48, enc_num_unit=8,
+                 dec_num_unit=8, enc_num_layer=2, dec_num_layer=2,
+                 num_iteration=2, num_iter_ft=3)
+    tr_a = Trainer(cfg)
+    tr_b = Trainer(cfg.replace(steps_per_call=4))
+    la = tr_a.train_epoch(0, 'decoder', verbose=False)
+    lb = tr_b.train_epoch(0, 'decoder', verbose=False)
+    assert abs(la - lb) < 1e-6, (la, lb)
+    leaves_a = jax.tree.leaves(tr_a.params)
+    leaves_b = jax.tree.leaves(tr_b.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # remainder path: 48/8 = 6 batches, groups of 4 -> 1 group + 2 singles
+    # already covered; also check a non-dividing steps_per_call
+    tr_c = Trainer(cfg.replace(steps_per_call=5))
+    lc = tr_c.train_epoch(0, 'decoder', verbose=False)
+    assert abs(la - lc) < 1e-6, (la, lc)

@@ -180,6 +180,14 @@ class Config:
     legacy_noise: bool = False        # reproduce pre-2022 test-noise bug (README.md:2)
     use_fused_conv: bool = False      # Pallas fused im2col bf16 conv stacks in the
                                       # CNN decoder (kernels/conv_stack.py); TPU only
+    steps_per_call: int = 1           # optimizer steps fused into one jitted
+                                      # dispatch (lax.scan over steps); >1
+                                      # amortizes the host->tunnel round trip
+    scan_unroll: int = 1              # unroll factor for the decoder-iteration
+                                      # lax.scan (1 = rolled loop; num_iteration-1
+                                      # = fully unrolled — lets XLA fuse across
+                                      # iteration boundaries and drop the stacked-
+                                      # weight dynamic slices)
     log_jsonl: str = ''               # if set, structured metrics written here
 
     def replace(self, **kw) -> 'Config':

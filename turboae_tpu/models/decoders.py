@@ -131,7 +131,8 @@ def largecnn_apply(params, cfg, received, perms, key=None, training=False) -> jn
         return jnp.take(x_plr2, inv, axis=1), None
 
     if cfg.num_iteration > 1:
-        prior, _ = lax.scan(body, prior0, params['scan'])
+        prior, _ = lax.scan(body, prior0, params['scan'],
+                            unroll=max(1, cfg.scan_unroll))
     else:
         prior = prior0  # num_iteration == 1: only the peeled final iteration
 

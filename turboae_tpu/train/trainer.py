@@ -66,6 +66,10 @@ class Trainer:
         # variable-block-len: per-(mode, length) jitted steps, built lazily
         self._vbl_steps = {}
         self._vbl_perms = {}
+        # multi-step programs (lax.scan over optimizer steps), built lazily
+        # per (mode, n): one dispatch covers n steps — the per-step host
+        # round trip over the remote TPU tunnel is pure overhead otherwise
+        self._multi_steps = {}
         self._eval = jax.jit(self._eval_step)
         self._evalp = jax.jit(self._eval_punc)
         self._val = jax.jit(self._val_step)
@@ -144,6 +148,29 @@ class Trainer:
 
         return new_params, new_opt_state, loss
 
+    def _multi_step(self, mode: str, n: int):
+        """One jitted program running n optimizer steps via lax.scan.
+
+        Bit-identical to n sequential _train_step calls: the scan carries the
+        PRNG key and applies the same split-per-step chain the host loop
+        does, so losses/params match the single-step path exactly."""
+        key = (mode, n)
+        if key not in self._multi_steps:
+            def many(params, opt_state, master_key):
+                def body(carry, _):
+                    params, opt_state, k = carry
+                    # same split-per-step chain as the host loop:
+                    # self.key, kstep = jax.random.split(self.key)
+                    k, kstep = jax.random.split(k)
+                    params, opt_state, loss = self._train_step(
+                        params, opt_state, kstep, mode=mode)
+                    return (params, opt_state, k), loss
+                (params, opt_state, master_key), losses = jax.lax.scan(
+                    body, (params, opt_state, master_key), None, length=n)
+                return params, opt_state, master_key, losses
+            self._multi_steps[key] = jax.jit(many, donate_argnums=(0, 1))
+        return self._multi_steps[key]
+
     # -------------------------------------------------------------
     def _vbl_buckets(self, n_buckets: int = 8):
         """Quantize [block_len_low, block_len_high) into <= n_buckets lengths
@@ -201,18 +228,35 @@ class Trainer:
                     'joint': self._step_joint}[mode]
             same_code = cfg.is_k_same_code and mode == 'encoder'
             bits_key = None
-            for i in range(num_batches):
-                self.key, k = jax.random.split(self.key)
-                if same_code:
-                    if i % cfg.k_same_code == 0:
-                        self.key, bits_key = jax.random.split(self.key)
+            if cfg.steps_per_call > 1 and not same_code:
+                # fused multi-step path: one dispatch per steps_per_call
+                # optimizer steps (identical numerics — see _multi_step)
+                n_groups, rem = divmod(num_batches, cfg.steps_per_call)
+                if n_groups:
+                    many = self._multi_step(mode, cfg.steps_per_call)
+                    for _ in range(n_groups):
+                        self.params, self.opt_state, self.key, ls = many(
+                            self.params, self.opt_state, self.key)
+                        losses.append(ls)  # per-step losses, shape (n,)
+                for _ in range(rem):
+                    self.key, k = jax.random.split(self.key)
                     self.params, self.opt_state, loss = step(
-                        self.params, self.opt_state, k, bits_key)
-                else:
-                    self.params, self.opt_state, loss = step(self.params,
-                                                             self.opt_state, k)
-                losses.append(loss)
-        avg = float(jnp.mean(jnp.stack(losses)))
+                        self.params, self.opt_state, k)
+                    losses.append(loss)
+            else:
+                for i in range(num_batches):
+                    self.key, k = jax.random.split(self.key)
+                    if same_code:
+                        if i % cfg.k_same_code == 0:
+                            self.key, bits_key = jax.random.split(self.key)
+                        self.params, self.opt_state, loss = step(
+                            self.params, self.opt_state, k, bits_key)
+                    else:
+                        self.params, self.opt_state, loss = step(self.params,
+                                                                 self.opt_state, k)
+                    losses.append(loss)
+        avg = float(jnp.mean(jnp.concatenate(
+            [jnp.atleast_1d(l) for l in losses])))
         if verbose:
             print(f'====> Epoch: {epoch} Average loss: {avg:.8f}  running time',
                   time.time() - start)
