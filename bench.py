@@ -52,11 +52,16 @@ def main():
 
     # flagship training config (reference tmp/114255_log.txt run: batch 500,
     # K=100); bfloat16 conv compute — verified loss-equivalent to f32
-    # (0.1580 vs 0.1579 after identical schedules) and +25% throughput
+    # (0.1580 vs 0.1579 after identical schedules) and +25% throughput.
+    # scan_unroll=5 fully unrolls the decoder-iteration scan: +17% step time
+    # (XLA pipelines across iterations; numerics bit-identical, regression-
+    # tested in tests/test_models.py) AND makes cost_analysis FLOPs correct —
+    # XLA counts a rolled lax.scan body ONCE, which is what made round-2
+    # report 13% MFU (258 GF/step) when the true figure is 744 GF/step.
     cfg = Config(batch_size=args.batch_size, block_len=100,
                  num_block=args.batch_size,
                  train_dec_channel_low=-1.5, train_dec_channel_high=2.0,
-                 dtype='bfloat16')
+                 dtype='bfloat16', scan_unroll=5)
     trainer = Trainer(cfg)
 
     # compile + warm up both phases

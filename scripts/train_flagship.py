@@ -70,6 +70,10 @@ def main():
                         'and snapshot the checkpoint as <ckpt>.e<epoch> so '
                         'the best epoch can be promoted after a 100k eval')
     p.add_argument('--test_num_block', type=int, default=10000)
+    p.add_argument('--scan_unroll', type=int, default=1,
+                   help='decoder-iteration scan unroll factor; 5 = fully '
+                        'unrolled, +17%% step time on TPU, bit-identical '
+                        'numerics (tests/test_models.py)')
     p.add_argument('--max_backoffs', type=int, default=4,
                    help='on loss divergence (NaN or >3x recent median), '
                         'reload the last checkpoint and halve both lrs, up '
@@ -108,7 +112,7 @@ def main():
                       num_train_enc=args.num_train_enc,
                       num_train_dec=args.num_train_dec,
                       loss=args.loss, enc_lr=enc_lr, dec_lr=dec_lr,
-                      dtype=args.dtype)
+                      dtype=args.dtype, scan_unroll=args.scan_unroll)
 
     lrs = {'enc': args.enc_lr, 'dec': args.dec_lr}
     cfg = build_cfg(lrs['enc'], lrs['dec'])
