@@ -26,6 +26,12 @@ def main():
     p.add_argument('--ckpt', default='')
     p.add_argument('--metrics', default='')
     p.add_argument('--resume', default='')
+    p.add_argument('--init_from', default='',
+                   help='warm-start params from another checkpoint, merging '
+                        'only matching subtrees (e.g. a trained flagship '
+                        'checkpoint seeds the mod family\'s enc/dec while '
+                        'mod/demod stay fresh); unlike --resume this resets '
+                        'the epoch counter and optimizer state')
     p.add_argument('--loss', default='bce')
     p.add_argument('--enc_lr', type=float, default=0.001)
     p.add_argument('--dec_lr', type=float, default=0.001)
@@ -113,6 +119,10 @@ def main():
 
     metrics = MetricsLogger(metrics_path)
     start_epoch = 0
+    if args.init_from:
+        trainer.params = load_checkpoint(args.init_from, trainer.params)
+        print(f'warm-started matching param subtrees from {args.init_from}',
+              flush=True)
     if args.resume and os.path.exists(args.resume):
         loaded = load_checkpoint(args.resume, trainer.params,
                                  trainer.opt_state)
