@@ -120,9 +120,16 @@ def main():
     metrics = MetricsLogger(metrics_path)
     start_epoch = 0
     if args.init_from:
-        trainer.params = load_checkpoint(args.init_from, trainer.params)
-        print(f'warm-started matching param subtrees from {args.init_from}',
-              flush=True)
+        stats = {}
+        trainer.params = load_checkpoint(args.init_from, trainer.params,
+                                         stats=stats)
+        total = stats['merged'] + stats['kept']
+        print(f"warm-started {stats['merged']}/{total} param leaves from "
+              f'{args.init_from}', flush=True)
+        if stats['merged'] == 0:
+            raise SystemExit(f'--init_from {args.init_from}: ZERO leaves '
+                             'matched the target architecture — wrong path '
+                             'or incompatible family')
     if args.resume and os.path.exists(args.resume):
         loaded = load_checkpoint(args.resume, trainer.params,
                                  trainer.opt_state)

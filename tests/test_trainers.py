@@ -182,3 +182,86 @@ def test_best_tracker():
     assert not b.update(float('nan'), 3)
     assert b.update(0.05, 4)
     assert b.best_epoch == 4
+
+
+# ---------------------------------------------------------------------------
+# Round 4: fast count-based sweep + corrected legacy_noise semantics
+# ---------------------------------------------------------------------------
+
+def test_sweep_counts_match_test_metrics():
+    """sweep()'s exact error counts must agree with test()'s main-pass
+    mean-of-means BER/BLER when run over the same number of blocks (same
+    semantics, different accumulation). Statistical agreement: same params,
+    same channel, large enough batch that both land near the true BER."""
+    from turboae_tpu.train.trainer import Trainer
+    cfg = Config(seed=3, **SMALL)
+    tr = Trainer(cfg)
+    # one high-SNR point: an untrained net gives BER ~0.5, tight variance
+    r = tr.sweep([2.0], num_block=16, chunk=2, verbose=False)
+    assert r['n_bits'] == 16 * 16 and r['n_blocks'] == 16
+    assert r['bit_errors'][0] == int(round(r['ber'][0] * r['n_bits']))
+    assert 0.3 < r['ber'][0] < 0.7
+    assert sum(r['pos_errors'][0]) == r['bit_errors'][0]
+    # chunking must not change the counts: same key path => same totals
+    tr2 = Trainer(cfg)
+    r2 = tr2.sweep([2.0], num_block=16, chunk=1, verbose=False)
+    assert r2['bit_errors'] == r['bit_errors']
+    assert r2['blk_errors'] == r['blk_errors']
+
+
+def test_sweep_bf16_close_to_f32():
+    from turboae_tpu.train.trainer import Trainer
+    r32 = Trainer(Config(seed=1, **SMALL)).sweep(
+        [1.0], num_block=64, verbose=False)
+    rbf = Trainer(Config(seed=1, dtype='bfloat16', **SMALL)).sweep(
+        [1.0], num_block=64, verbose=False)
+    # untrained net, BER ~0.5 both ways; bf16 must not shift the metric
+    assert abs(r32['ber'][0] - rbf['ber'][0]) < 0.05
+
+
+def test_legacy_noise_reuses_fixed_realization():
+    """cfg.legacy_noise pins the pre-2022 reference test bug
+    (/root/reference/README.md:2): ONE noise realization reused across all
+    batches/SNR points (scaled per point), only bits resample."""
+    import jax
+    import jax.numpy as jnp
+    from turboae_tpu.train.trainer import Trainer
+    cfg = Config(seed=0, legacy_noise=True, **SMALL)
+    tr = Trainer(cfg)
+    captured = []
+    orig = tr._eval_fix
+
+    def spy(params, key, noise, stats=None):
+        captured.append(np.asarray(noise))
+        return orig(params, key, noise, stats)
+
+    tr._eval_fix = spy
+    tr.cfg = cfg.replace(num_block=2 * cfg.batch_size)  # 2 batches/point
+    tr.test(verbose=False)
+    assert len(captured) >= 4  # 2 points x 2 batches
+    # within a point: identical tensors (reuse), across points: same unit
+    # realization scaled by sigma ratio
+    np.testing.assert_array_equal(captured[0], captured[1])
+    from turboae_tpu.utils.metrics import snr_db2sigma
+    interval = (cfg.snr_test_end - cfg.snr_test_start) / (cfg.snr_points - 1)
+    s0 = snr_db2sigma(cfg.snr_test_start)
+    s1 = snr_db2sigma(cfg.snr_test_start + interval)
+    np.testing.assert_allclose(captured[2], captured[0] * (s1 / s0),
+                               rtol=1e-5)
+
+
+def test_legacy_noise_sigma_is_db_converted():
+    """Regression for the round-3 misreading: legacy mode must still convert
+    SNR dB -> sigma (the bug was noise REUSE, never sigma=snr)."""
+    from turboae_tpu.train.trainer import Trainer
+    cfg = Config(seed=0, legacy_noise=True, snr_test_start=6.0,
+                 snr_test_end=6.0, **{**SMALL, 'snr_points': 1})
+    tr = Trainer(cfg)
+    seen = []
+    orig = tr._eval_fix
+    tr._eval_fix = lambda p, k, n, s=None: (seen.append(np.asarray(n)),
+                                            orig(p, k, n, s))[1]
+    tr.test(verbose=False)
+    # at 6 dB, sigma ~ 0.501: std of the scaled awgn tensor must be ~sigma,
+    # NOT ~6.0 (the old misreading)
+    assert 0.3 < seen[0].std() < 0.7, seen[0].std()

@@ -39,6 +39,16 @@ def get_bench_args(argv=None):
     p.add_argument('-variant', choices=['hazzys', 'hazzys_g'], default='hazzys')
     p.add_argument('-num_threads', type=int, default=0,
                    help='native engine worker threads (<=0: all cores)')
+    p.add_argument('-noise_type', default='awgn',
+                   help='awgn | t-dist | radar | bsc | bec | ge | ge_awgn | '
+                        'fading — classical corrupt_signal semantics '
+                        '(reference commpy/utils.py:45-247). The decoder '
+                        'stays the Gaussian-LLR turbo decoder (mismatched '
+                        'decoding on non-Gaussian channels, the TurboAE '
+                        "paper's classical-baseline setup)")
+    p.add_argument('-vv', type=float, default=5.0, help='t-dist dof')
+    p.add_argument('-radar_power', type=float, default=5.0)
+    p.add_argument('-radar_prob', type=float, default=0.05)
     p.add_argument('-target_bit_err', type=int, default=0,
                    help='stop a SNR point early once this many bit errors '
                         'are collected (0 = always run num_block blocks); '
@@ -97,7 +107,17 @@ def run_benchmark(args):
                 continue
             msgs = rng.randint(0, 2, (B, args.block_len))
             codes = turbo_encode_batch(msgs, trellis, inter.p_array)
-            rx = 2.0 * codes - 1.0 + sigma * rng.randn(B, args.block_len, 3)
+            if args.noise_type == 'awgn':
+                rx = 2.0 * codes - 1.0 + sigma * rng.randn(B, args.block_len, 3)
+            else:
+                # non-AWGN impairments via the classical corrupt_signal layer
+                # (reference commpy/utils.py:45-247); the Gaussian-LLR decoder
+                # below is then MISMATCHED — the classical-baseline setup the
+                # TurboAE paper compares against on ATN/radar channels
+                from ..classical.channels import corrupt_signal
+                rx = corrupt_signal(codes, args.noise_type, sigma=sigma,
+                                    vv=args.vv, radar_power=args.radar_power,
+                                    radar_prob=args.radar_prob)
 
             if args.engine == 'jax':
                 import jax.numpy as jnp

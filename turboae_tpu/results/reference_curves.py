@@ -25,6 +25,18 @@ TURBOAE_CNN_K100 = {
     'bler': [7.09e-1, 1.17e-1, 2.10e-3, 2e-5],
 }
 
+# Same run, FULL final 12-point arrays (tmp/114255_log.txt:3034-3035, plain
+# — no punctured pass exists in that log; 50k blocks/point)
+TURBOAE_CNN_K100_FULL = {
+    'snr': [-1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0],
+    'ber': [8.940097e-2, 4.291539e-2, 1.565200e-2, 4.572600e-3, 1.144800e-3,
+            3.452000e-4, 1.186000e-4, 3.020000e-5, 9.800000e-6, 3.400000e-6,
+            8.000000e-7, 4.000000e-7],
+    'bler': [7.0886e-1, 4.8004e-1, 2.6308e-1, 1.1666e-1, 4.610e-2, 1.736e-2,
+             7.560e-3, 2.100e-3, 7.600e-4, 3.000e-4, 6.0e-5, 2.0e-5],
+    'num_block': 50000,
+}
+
 # Fine-tuned TurboAE (tmp/724820_log.txt)
 TURBOAE_CNN_K100_FINETUNED = {
     'snr': [0.0, 2.0],

@@ -71,8 +71,11 @@ class Trainer:
         # round trip over the remote TPU tunnel is pure overhead otherwise
         self._multi_steps = {}
         self._eval = jax.jit(self._eval_step)
+        self._eval_fix = jax.jit(self._eval_fixed)
         self._evalp = jax.jit(self._eval_punc)
         self._val = jax.jit(self._val_step)
+        # fast count-based sweep programs, built lazily per chunk length
+        self._sweep_chunks = {}
         self.norm_stats = None
 
     # -------------------------------------------------------------
@@ -316,6 +319,23 @@ class Trainer:
         return (M.errors_ber(bits, out), M.errors_bler(bits, out),
                 M.errors_ber_pos(bits, out), M.code_power(code)), stats
 
+    def _eval_fixed(self, params, key, noise, stats=None):
+        """Eval batch with a CALLER-SUPPLIED noise tensor (fresh bits).
+
+        Implements the pre-2022 reference test bug (README.md:2: performance
+        was "measured on fixed noise rather than random noise"): the noise
+        realization is drawn once and reused across batches, only bits
+        resample. Used by test() when cfg.legacy_noise."""
+        cfg = self.cfg
+        k_bits, _, k_fwd = jax.random.split(key, 3)
+        bits = self._constrain(_sample_bits(
+            k_bits, (cfg.batch_size, cfg.block_len, cfg.code_rate_k)))
+        out, code, stats = forward_ae(params, cfg, k_fwd, bits,
+                                      self._constrain(noise), self.perms,
+                                      training=False, stats=stats)
+        return (M.errors_ber(bits, out), M.errors_bler(bits, out),
+                M.errors_ber_pos(bits, out), M.code_power(code)), stats
+
     def _eval_punc(self, params, key, sigma, punc_mask, stats=None):
         """Punctured-metric eval batch (reference trainer.py:194-213)."""
         cfg = self.cfg
@@ -330,6 +350,118 @@ class Trainer:
                                    training=False, stats=stats)
         return (M.errors_ber_punctured(bits, out, punc_mask),
                 M.errors_bler(bits, out, punc_mask)), stats
+
+    # -------------------------------------------------------------
+    def _sweep_chunk(self, chunk: int):
+        """One jitted program = `chunk` eval batches at a traced sigma, fused
+        into a lax.scan, returning EXACT error counts (int32) instead of
+        per-batch float means.
+
+        This is the deep-statistics eval path (1e6+ blocks/point): one device
+        dispatch covers `chunk` batches (the per-batch host round trip over
+        the remote TPU tunnel is the binding cost of `test()`), the forward
+        runs in cfg.dtype (bfloat16 for 2x the eval rate — decisions are
+        round()ed so bf16 is exact at the metric level), and the returned
+        bit/block/positional error COUNTS support Wilson CIs without any
+        mean-of-means precision loss. `fixed_noise` (optional) reuses one
+        noise realization for every batch — the actual pre-2022 reference
+        test bug (/root/reference/README.md:2), see test(legacy).
+        """
+        from ..channels.noise import sample_noise, spec_from_cfg
+        cfg = self.cfg
+        spec = spec_from_cfg(cfg)
+        noise_shape = (cfg.batch_size, cfg.block_len, cfg.code_rate_n)
+
+        def chunk_fn(params, key, sigma, fixed_noise=None):
+            def body(carry, _):
+                key, bit_e, blk_e, pos_e = carry
+                key, k = jax.random.split(key)
+                k_bits, k_noise, k_fwd = jax.random.split(k, 3)
+                bits = self._constrain(_sample_bits(
+                    k_bits, (cfg.batch_size, cfg.block_len, cfg.code_rate_k)))
+                if fixed_noise is None:
+                    noise = self._constrain(
+                        sample_noise(k_noise, noise_shape, spec, sigma))
+                else:
+                    noise = self._constrain(sigma * fixed_noise)
+                out, _, _ = forward_ae(params, cfg, k_fwd, bits, noise,
+                                       self.perms, training=False)
+                t = jnp.round(bits.reshape(bits.shape[0], -1))
+                p = jnp.round(out.astype(jnp.float32).reshape(out.shape[0], -1))
+                err = jnp.not_equal(t, p)
+                pos = jnp.sum(err, axis=0).astype(jnp.int32)
+                bit_e = bit_e + jnp.sum(pos)
+                blk_e = blk_e + jnp.sum(jnp.any(err, axis=1)).astype(jnp.int32)
+                pos_e = pos_e + pos
+                return (key, bit_e, blk_e, pos_e), None
+
+            init = (key, jnp.int32(0), jnp.int32(0),
+                    jnp.zeros(cfg.block_len * cfg.code_rate_k, jnp.int32))
+            (key, bit_e, blk_e, pos_e), _ = jax.lax.scan(
+                body, init, None, length=chunk)
+            return key, bit_e, blk_e, pos_e
+
+        if chunk not in self._sweep_chunks:
+            self._sweep_chunks[chunk] = jax.jit(chunk_fn)
+        return self._sweep_chunks[chunk]
+
+    def sweep(self, snrs, num_block: int = None, chunk: int = 50,
+              verbose: bool = True):
+        """Fast SNR sweep with exact error counts.
+
+        Returns a dict with per-point bit/block error counts and totals.
+        Semantics match test()'s main pass (fixed post-2022 noise: fresh noise
+        every batch at sigma = snr_db2sigma(snr); raw probability for
+        bec/bsc/ge), minus the punctured second pass (use test() for that —
+        reference trainer.py:194-213). cfg.legacy_noise instead reuses ONE
+        noise realization across all batches and SNR points (scaled per
+        point), reproducing the pre-2022 reference test bug (README.md:2).
+        """
+        cfg = self.cfg
+        num_block = num_block or cfg.num_block
+        num_batches = max(1, num_block // cfg.batch_size)
+        fixed_unit = None
+        if cfg.legacy_noise and cfg.channel not in ('bec', 'bsc', 'ge'):
+            from ..channels.noise import sample_noise, spec_from_cfg
+            self.key, kn = jax.random.split(self.key)
+            fixed_unit = sample_noise(
+                kn, (cfg.batch_size, cfg.block_len, cfg.code_rate_n),
+                spec_from_cfg(cfg), 1.0)
+        res = {'snr': list(snrs), 'ber': [], 'bler': [], 'bit_errors': [],
+               'blk_errors': [], 'pos_errors': [],
+               'n_bits': num_batches * cfg.batch_size * cfg.block_len
+               * cfg.code_rate_k,
+               'n_blocks': num_batches * cfg.batch_size}
+        for snr in snrs:
+            sigma = snr if cfg.channel in ('bec', 'bsc', 'ge') \
+                else M.snr_db2sigma(snr)
+            bit_e = blk_e = 0
+            pos_e = np.zeros(cfg.block_len * cfg.code_rate_k, np.int64)
+            left = num_batches
+            # one key per point; the chunk program returns its final scan
+            # carry key, so the totals are invariant to how the batches are
+            # partitioned into chunks (regression-tested)
+            self.key, k = jax.random.split(self.key)
+            while left > 0:
+                n = min(left, chunk)
+                step = self._sweep_chunk(n)
+                if fixed_unit is None:
+                    k, be, ke, pe = step(self.params, k, jnp.float32(sigma))
+                else:
+                    k, be, ke, pe = step(self.params, k, jnp.float32(sigma),
+                                         fixed_unit)
+                bit_e += int(be); blk_e += int(ke)
+                pos_e += np.asarray(pe, np.int64)
+                left -= n
+            ber = bit_e / res['n_bits']
+            bler = blk_e / res['n_blocks']
+            res['ber'].append(ber); res['bler'].append(bler)
+            res['bit_errors'].append(bit_e); res['blk_errors'].append(blk_e)
+            res['pos_errors'].append(pos_e.tolist())
+            if verbose:
+                print(f'Test SNR {snr} with ber {ber:.6e} ({bit_e} bit errs) '
+                      f'with bler {bler:.6e} ({blk_e} blk errs)', flush=True)
+        return res
 
     def precompute_norm_stats(self):
         """Run the encoder over random bits accumulating running mean/std
@@ -386,6 +518,14 @@ class Trainer:
         test probability, matching generate_noise's test path (channels.py:28-31).
         Includes the punctured second pass (top num_ber_puncture worst
         positions zeroed) and positional BER / code power reporting.
+
+        cfg.legacy_noise reproduces the PRE-2022 reference test bug
+        (/root/reference/README.md:2: performance was "measured on fixed
+        noise rather than random noise", worth >=0.5 dB per that README): one
+        unit-sigma noise realization is drawn at sweep start and reused for
+        EVERY batch at every SNR point (scaled by the point's sigma); only
+        the bits resample. sigma conversion is unchanged — the bug was noise
+        reuse, not a dB/sigma mixup.
         """
         import numpy as np
         cfg = self.cfg
@@ -399,23 +539,30 @@ class Trainer:
         snrs = [cfg.snr_test_start + interval * i for i in range(cfg.snr_points)]
         if verbose:
             print('SNRS', snrs)
+        fixed_unit = None
+        if cfg.legacy_noise:
+            from ..channels.noise import sample_noise, spec_from_cfg
+            self.key, kn = jax.random.split(self.key)
+            fixed_unit = sample_noise(
+                kn, (cfg.batch_size, cfg.block_len, cfg.code_rate_n),
+                spec_from_cfg(cfg), 1.0)
         ber_res, bler_res = [], []
         ber_res_punc, bler_res_punc = [], []
         for snr in snrs:
             if cfg.channel in ('bec', 'bsc', 'ge'):
-                sigma = snr
-            elif cfg.legacy_noise:
-                # pre-2022 reference bug (README.md:2): the SNR value was used
-                # directly as sigma; kept behind a flag for bug-compatible
-                # comparisons against old published logs
                 sigma = snr
             else:
                 sigma = M.snr_db2sigma(snr)
             acc = []
             for _ in range(num_batches):
                 self.key, k = jax.random.split(self.key)
-                a, stats = self._eval(self.params, k, jnp.float32(sigma),
-                                      stats)
+                if fixed_unit is not None:
+                    a, stats = self._eval_fix(self.params, k,
+                                              jnp.float32(sigma) * fixed_unit,
+                                              stats)
+                else:
+                    a, stats = self._eval(self.params, k, jnp.float32(sigma),
+                                          stats)
                 acc.append(a)
             tb = float(jnp.mean(jnp.stack([a[0] for a in acc])))
             tbl = float(jnp.mean(jnp.stack([a[1] for a in acc])))
