@@ -54,6 +54,11 @@ def main():
     p.add_argument('--num_train_demod', type=int, default=5)
     p.add_argument('--train_enc_channel_low', type=float, default=1.0)
     p.add_argument('--train_enc_channel_high', type=float, default=1.0)
+    p.add_argument('--train_dec_channel_low', type=float, default=-1.5,
+                   help='decoder-phase channel SNR range; lowering this is '
+                        'the waterfall lever (mirrors the flagship enc-SNR '
+                        'migration)')
+    p.add_argument('--train_dec_channel_high', type=float, default=2.0)
     p.add_argument('--snr_test_start', type=float, default=-2.0)
     p.add_argument('--snr_test_end', type=float, default=2.0)
     p.add_argument('--snr_points', type=int, default=5)
@@ -90,6 +95,8 @@ def main():
                       num_train_dec=args.num_train_dec,
                       train_enc_channel_low=args.train_enc_channel_low,
                       train_enc_channel_high=args.train_enc_channel_high,
+                      train_dec_channel_low=args.train_dec_channel_low,
+                      train_dec_channel_high=args.train_dec_channel_high,
                       fb_channel_low=args.fb_channel_low,
                       fb_channel_high=args.fb_channel_high,
                       dec_type=args.dec_type, cnn_type=args.cnn_type,

@@ -49,6 +49,13 @@ def main():
     p.add_argument('--dec_num_unit', type=int, default=100)
     p.add_argument('--num_iteration', type=int, default=6)
     p.add_argument('--snr_points', type=int, default=12)
+    p.add_argument('--channel', default='awgn',
+                   help='training/eval channel: awgn | t-dist | radar | ... '
+                        "(the reference's headline robustness channels, "
+                        '/root/reference/channels.py:37-46)')
+    p.add_argument('--vv', type=float, default=5.0, help='t-dist dof')
+    p.add_argument('--radar_power', type=float, default=5.0)
+    p.add_argument('--radar_prob', type=float, default=0.05)
     p.add_argument('--train_enc_channel_low', type=float, default=1.0)
     p.add_argument('--train_enc_channel_high', type=float, default=1.0)
     p.add_argument('--train_dec_channel_low', type=float, default=-1.5)
@@ -97,6 +104,9 @@ def main():
     def build_cfg(enc_lr, dec_lr):
         return Config(batch_size=args.batch_size, block_len=args.block_len,
                       num_block=args.num_block,
+                      channel=args.channel, vv=args.vv,
+                      radar_power=args.radar_power,
+                      radar_prob=args.radar_prob,
                       encoder=args.encoder, decoder=args.decoder,
                       dec_num_layer=args.dec_num_layer,
                       enc_num_unit=args.enc_num_unit,
