@@ -100,3 +100,27 @@ def test_driver_aborts_when_backoffs_exhausted(driver_env, monkeypatch):
     # aborted: never reached epoch 6
     epochs = [e['epoch'] for e in events if e['event'] == 'epoch']
     assert 6 not in epochs
+
+
+def test_average_checkpoints_identity_and_midpoint(tmp_path):
+    """Soup of [ckpt, ckpt] == ckpt; weighted soup is the affine midpoint."""
+    import subprocess, sys, os
+    import numpy as np
+    from turboae_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+    a = {'enc': {'w': np.full((3,), 1.0, np.float32)},
+         'dec': {'w': np.full((3,), 3.0, np.float32)}}
+    b = {'enc': {'w': np.full((3,), 2.0, np.float32)},
+         'dec': {'w': np.full((3,), 5.0, np.float32)}}
+    pa, pb = str(tmp_path / 'a.msgpack'), str(tmp_path / 'b.msgpack')
+    save_checkpoint(pa, a); save_checkpoint(pb, b)
+    out = str(tmp_path / 'soup.msgpack')
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable,
+                        os.path.join(root, 'scripts/average_checkpoints.py'),
+                        pa, pb, '--weights', '0.25', '0.75', '--out', out],
+                       capture_output=True, text=True, timeout=300,
+                       env={**os.environ, 'JAX_PLATFORMS': 'cpu'})
+    assert r.returncode == 0, r.stdout + r.stderr
+    got = load_checkpoint(out, a)
+    np.testing.assert_allclose(got['enc']['w'], 1.75, rtol=1e-6)
+    np.testing.assert_allclose(got['dec']['w'], 4.5, rtol=1e-6)

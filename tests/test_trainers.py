@@ -265,3 +265,12 @@ def test_legacy_noise_sigma_is_db_converted():
     # at 6 dB, sigma ~ 0.501: std of the scaled awgn tensor must be ~sigma,
     # NOT ~6.0 (the old misreading)
     assert 0.3 < seen[0].std() < 0.7, seen[0].std()
+
+
+def test_ftae_sweep_counts():
+    from turboae_tpu.train.ftae_trainer import FTAETrainer
+    tr = FTAETrainer(Config(dec_type='turboae_cnn', **SMALL))
+    r = tr.sweep([2.0], num_block=16, chunk=2, verbose=False)
+    assert r['n_bits'] == 16 * 16
+    assert r['bit_errors'][0] == int(round(r['ber'][0] * r['n_bits']))
+    assert 0.0 <= r['ber'][0] <= 1.0

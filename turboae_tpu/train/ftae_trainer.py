@@ -134,6 +134,82 @@ class FTAETrainer:
                                   self.perms)
         return M.errors_ber(bits, out), M.errors_bler(bits, out)
 
+    def _sweep_chunk(self, chunk: int):
+        """`chunk` eval batches fused into one lax.scan dispatch, exact error
+        counts — same fast-eval pattern as Trainer._sweep_chunk."""
+        from ..channels.noise import sample_noise, spec_from_cfg
+        cfg = self.cfg
+        spec = spec_from_cfg(cfg)
+        shape = (cfg.batch_size, cfg.block_len, 3)
+
+        def chunk_fn(params, key, sigma):
+            def body(carry, _):
+                key, bit_e, blk_e = carry
+                key, k = jax.random.split(key)
+                k1, k2, k3 = jax.random.split(k, 3)
+                bits = self._constrain(jax.random.bernoulli(
+                    k1, 0.5, (cfg.batch_size, cfg.block_len, cfg.code_rate_k)
+                ).astype(jnp.float32))
+                fwd_noise = self._constrain(
+                    sample_noise(k2, shape, spec, sigma))
+                fb_noise = self._constrain(generate_noise(
+                    k3, shape, cfg, snr_low=cfg.fb_channel_low,
+                    snr_high=cfg.fb_channel_high, mode='decoder'))
+                out, _ = forward_ftae(params, cfg, bits, fwd_noise, fb_noise,
+                                      self.perms)
+                t = jnp.round(bits.reshape(bits.shape[0], -1))
+                p = jnp.round(out.astype(jnp.float32).reshape(out.shape[0], -1))
+                err = jnp.not_equal(t, p)
+                bit_e = bit_e + jnp.sum(err).astype(jnp.int32)
+                blk_e = blk_e + jnp.sum(jnp.any(err, axis=1)).astype(jnp.int32)
+                return (key, bit_e, blk_e), None
+
+            init = (key, jnp.int32(0), jnp.int32(0))
+            (key, bit_e, blk_e), _ = jax.lax.scan(body, init, None,
+                                                  length=chunk)
+            return key, bit_e, blk_e
+
+        if not hasattr(self, '_sweep_chunks'):
+            self._sweep_chunks = {}
+        if chunk not in self._sweep_chunks:
+            self._sweep_chunks[chunk] = jax.jit(chunk_fn)
+        return self._sweep_chunks[chunk]
+
+    def sweep(self, snrs, num_block: int = None, chunk: int = 50,
+              verbose: bool = True):
+        """Fast SNR sweep with exact bit/block error counts (AWGN-family
+        forward channel at sigma = snr_db2sigma(snr); feedback noise stays at
+        the configured fb channel range, as in test())."""
+        cfg = self.cfg
+        num_block = num_block or cfg.num_block
+        num_batches = max(1, num_block // cfg.batch_size)
+        res = {'snr': list(snrs), 'ber': [], 'bler': [], 'bit_errors': [],
+               'blk_errors': [],
+               'n_bits': num_batches * cfg.batch_size * cfg.block_len
+               * cfg.code_rate_k,
+               'n_blocks': num_batches * cfg.batch_size}
+        import numpy as np
+        for snr in snrs:
+            sigma = M.snr_db2sigma(snr)
+            bit_e = blk_e = 0
+            left = num_batches
+            self.key, k = jax.random.split(self.key)
+            while left > 0:
+                n = min(left, chunk)
+                step = self._sweep_chunk(n)
+                k, be, ke = step(self.params, k, jnp.float32(sigma))
+                bit_e += int(be); blk_e += int(ke)
+                left -= n
+            res['ber'].append(bit_e / res['n_bits'])
+            res['bler'].append(blk_e / res['n_blocks'])
+            res['bit_errors'].append(bit_e)
+            res['blk_errors'].append(blk_e)
+            if verbose:
+                print(f'Test SNR {snr} with ber {res["ber"][-1]:.6e} '
+                      f'({bit_e} bit errs) with bler {res["bler"][-1]:.6e} '
+                      f'({blk_e} blk errs)', flush=True)
+        return res
+
     def test(self, verbose=True):
         cfg = self.cfg
         n = max(1, cfg.num_block // cfg.batch_size)
