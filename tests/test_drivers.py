@@ -124,3 +124,33 @@ def test_average_checkpoints_identity_and_midpoint(tmp_path):
     got = load_checkpoint(out, a)
     np.testing.assert_allclose(got['enc']['w'], 1.75, rtol=1e-6)
     np.testing.assert_allclose(got['dec']['w'], 4.5, rtol=1e-6)
+
+
+def test_gen_results_tables_roundtrip(tmp_path):
+    """regenerate() fills marked blocks from artifacts and is idempotent;
+    a generator whose artifact is missing leaves its block untouched."""
+    import importlib.util as iu, os, sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = iu.spec_from_file_location(
+        'grt', os.path.join(root, 'scripts/gen_results_tables.py'))
+    grt = iu.module_from_spec(spec)
+    spec.loader.exec_module(grt)
+    text = ('header\n<!-- gen:crown -->\n<!-- /gen:crown -->\n'
+            'tail\n<!-- gen:nosuch -->\nkeep me\n<!-- /gen:nosuch -->\n')
+    out = grt.regenerate(text)
+    assert 'ours BER' in out            # crown filled from committed artifact
+    assert 'keep me' in out             # unknown generator untouched
+    assert grt.regenerate(out) == out   # idempotent
+
+
+def test_wilson_ci_matches_counts():
+    import importlib.util as iu, os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = iu.spec_from_file_location(
+        'ef', os.path.join(root, 'scripts/eval_flagship.py'))
+    ef = iu.module_from_spec(spec)
+    spec.loader.exec_module(ef)
+    lo, hi = ef.wilson_ci(0, 1000)
+    assert lo == 0.0 and hi < 0.005
+    lo, hi = ef.wilson_ci(100, 1000)
+    assert lo < 0.1 < hi and hi - lo < 0.05
