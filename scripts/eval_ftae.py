@@ -21,6 +21,9 @@ def main():
     p.add_argument('--dec_type', default='turboae_cnn')
     p.add_argument('--fb_channel_low', type=float, default=40.0)
     p.add_argument('--fb_channel_high', type=float, default=40.0)
+    p.add_argument('--ftae_power_alloc', default='none',
+                   choices=['none', 'pos', 'pos_phase'],
+                   help='must match the checkpoint being evaluated')
     p.add_argument('--snrs', type=float, nargs='*',
                    default=[-2.0, -1.0, 0.0, 1.0, 2.0])
     p.add_argument('--dtype', default='bfloat16')
@@ -41,7 +44,8 @@ def main():
     cfg = Config(batch_size=args.batch_size, block_len=args.block_len,
                  dec_type=args.dec_type, dtype=args.dtype,
                  fb_channel_low=args.fb_channel_low,
-                 fb_channel_high=args.fb_channel_high)
+                 fb_channel_high=args.fb_channel_high,
+                 ftae_power_alloc=args.ftae_power_alloc)
     tr = FTAETrainer(cfg)
     tr.params = load_checkpoint(args.ckpt, tr.params)
     print(f'loaded {args.ckpt}', flush=True)

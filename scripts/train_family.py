@@ -45,6 +45,11 @@ def main():
     p.add_argument('--fb_channel_high', type=float, default=10.0)
     p.add_argument('--dec_type', default='turboae_cnn')
     p.add_argument('--cnn_type', default='normal')
+    p.add_argument('--ftae_power_alloc', default='none',
+                   choices=['none', 'pos', 'pos_phase'],
+                   help='learned per-position transmit-power weights on the '
+                        'forward phase encoders (DeepCode mechanism); '
+                        'pos_phase also reallocates power between phases')
     # mod
     p.add_argument('--mod_rate', type=int, default=2)
     p.add_argument('--mod_pc', default='block_power')
@@ -100,6 +105,7 @@ def main():
                       fb_channel_low=args.fb_channel_low,
                       fb_channel_high=args.fb_channel_high,
                       dec_type=args.dec_type, cnn_type=args.cnn_type,
+                      ftae_power_alloc=args.ftae_power_alloc,
                       mod_rate=args.mod_rate, mod_pc=args.mod_pc,
                       mod_lr=lrs['mod'], demod_lr=lrs['demod'],
                       num_train_mod=args.num_train_mod,

@@ -1,4 +1,6 @@
 """Classical extensions: LDPC, GF fields, cyclic codes, channels, modem, DSP."""
+import os
+
 import numpy as np
 import pytest
 
@@ -12,7 +14,11 @@ from turboae_tpu.classical.modem import PSKModem, QAMModem, ofdm_tx, ofdm_rx, mi
 from turboae_tpu.classical.dsp import (rcosfilter, rrcosfilter, pnsequence,
                                        zcsequence, add_frequency_offset)
 
-REF_DESIGN = '/root/reference/commpy/channelcoding/designs/ldpc/gallager/96.33.964.txt'
+# vendored copy of the reference's Gallager (96,48) design data file
+# (commpy/channelcoding/designs/ldpc/gallager/96.33.964.txt) so the test
+# suite runs without the reference mount
+REF_DESIGN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          'turboae_tpu', 'classical', 'designs', '96.33.964.txt')
 
 
 def test_gf_golden_vectors():

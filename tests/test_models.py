@@ -230,3 +230,116 @@ def test_multi_step_training_matches_single_step():
     tr_c = Trainer(cfg.replace(steps_per_call=5))
     lc = tr_c.train_epoch(0, 'decoder', verbose=False)
     assert abs(la - lc) < 1e-6, (la, lc)
+
+
+def test_ftae_power_alloc_ones_matches_none():
+    """pw init is ones, so a fresh 'pos'/'pos_phase' model must produce the
+    SAME forward outputs as 'none' — the property that makes warm-starting
+    from a uniform-power checkpoint behavior-preserving."""
+    from turboae_tpu.models.ftae import init_ftae, forward_ftae
+    key = jax.random.PRNGKey(3)
+    bits = jax.random.bernoulli(key, 0.5, (4, 16, 1)).astype(jnp.float32)
+    fwd = 0.5 * jax.random.normal(key, (4, 16, 3))
+    fb = 0.1 * jax.random.normal(key, (4, 16, 3))
+    outs = {}
+    for alloc in ('none', 'pos', 'pos_phase'):
+        cfg = Config(dec_type='turboae_cnn', ftae_power_alloc=alloc, **SMALL)
+        params = init_ftae(jax.random.PRNGKey(7), cfg)
+        perms = make_perms(cfg)
+        if alloc != 'none':
+            assert params['fwd_enc1']['pw'].shape == (16, 1)
+            assert 'pw' not in params['fb_enc1']
+        outs[alloc] = np.asarray(forward_ftae(params, cfg, bits, fwd, fb,
+                                              perms)[0])
+    np.testing.assert_allclose(outs['pos'], outs['none'], rtol=1e-6)
+    np.testing.assert_allclose(outs['pos_phase'], outs['none'], rtol=1e-6)
+
+
+def test_ftae_power_alloc_conserves_power():
+    """Random (non-uniform) weights must not change realized code power: the
+    allocation renormalizes against the batch's measured per-position power,
+    so each phase's power equals the uniform-whitening baseline EXACTLY for
+    'pos', and 'pos_phase' scales it by the normalized per-phase scalars
+    (joint power conserved, phases deliberately unequal)."""
+    from turboae_tpu.models.ftae import init_ftae, forward_ftae
+    key = jax.random.PRNGKey(5)
+    bits = jax.random.bernoulli(key, 0.5, (512, 16, 1)).astype(jnp.float32)
+    fwd = 0.5 * jax.random.normal(key, (512, 16, 3))
+    fb = jnp.zeros((512, 16, 3))
+
+    base_cfg = Config(dec_type='cnn', **SMALL).replace(batch_size=512)
+    base_params = init_ftae(jax.random.PRNGKey(11), base_cfg)
+    _, base_codes = forward_ftae(base_params, base_cfg, bits, fwd, fb,
+                                 make_perms(base_cfg))
+    base_pow = (np.asarray(base_codes, np.float64) ** 2).mean(axis=(0, 1))
+
+    for alloc in ('pos', 'pos_phase'):
+        cfg = base_cfg.replace(ftae_power_alloc=alloc)
+        params = init_ftae(jax.random.PRNGKey(11), cfg)
+        for i in (1, 2, 3):
+            k = jax.random.fold_in(key, i)
+            params[f'fwd_enc{i}']['pw'] = (
+                1.0 + 0.5 * jax.random.normal(k, (16, 1)))
+            if alloc == 'pos_phase':
+                params[f'fwd_enc{i}']['ps'] = jnp.float32(0.5 + 0.4 * i)
+        perms = make_perms(cfg)
+        _, codes = forward_ftae(params, cfg, bits, fwd, fb, perms)
+        codes = np.asarray(codes, np.float64)
+        phase_pow = (codes ** 2).mean(axis=(0, 1))
+        # phases interact through feedback: x1's weighting changes enc2/enc3
+        # inputs, but each phase's whitening+renormalized allocation pins its
+        # OWN power, so phase 1 matches exactly and later phases to ~1e-5
+        if alloc == 'pos':
+            np.testing.assert_allclose(phase_pow, base_pow, rtol=1e-4)
+        else:
+            s = np.array([0.9, 1.3, 1.7])
+            s = s / np.sqrt((s ** 2).mean())
+            np.testing.assert_allclose(phase_pow, base_pow * s ** 2,
+                                       rtol=1e-4)
+            assert phase_pow.std() > 0.05
+
+
+def test_ftae_power_alloc_gradient_flows():
+    """The pw leaves sit in the forward-encoder subtrees, so the FTAE
+    trainer's encoder phase must produce nonzero gradients for them."""
+    from turboae_tpu.models.ftae import init_ftae, forward_ftae
+    cfg = Config(dec_type='cnn', ftae_power_alloc='pos_phase', **SMALL)
+    key = jax.random.PRNGKey(9)
+    params = init_ftae(key, cfg)
+    perms = make_perms(cfg)
+    bits = jax.random.bernoulli(key, 0.5, (4, 16, 1)).astype(jnp.float32)
+    fwd = 0.5 * jax.random.normal(key, (4, 16, 3))
+    fb = 0.1 * jax.random.normal(key, (4, 16, 3))
+
+    def loss(p):
+        o, _ = forward_ftae(p, cfg, bits, fwd, fb, perms)
+        return jnp.mean((jnp.clip(o, 0.0, 1.0) - bits) ** 2)
+
+    g = jax.grad(loss)(params)
+    for i in (1, 2, 3):
+        assert float(jnp.abs(g[f'fwd_enc{i}']['pw']).max()) > 0, i
+
+
+def test_ftae_power_alloc_warm_start_merges():
+    """load_checkpoint of a uniform-power FTAE checkpoint into a
+    power-alloc model merges every conv/linear leaf and leaves pw at ones."""
+    import tempfile
+    from turboae_tpu.models.ftae import init_ftae
+    from turboae_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+    cfg0 = Config(dec_type='turboae_cnn', **SMALL)
+    cfg1 = cfg0.replace(ftae_power_alloc='pos_phase')
+    p0 = init_ftae(jax.random.PRNGKey(1), cfg0)
+    p1 = init_ftae(jax.random.PRNGKey(2), cfg1)
+    with tempfile.TemporaryDirectory() as d:
+        path = f'{d}/ftae.msgpack'
+        save_checkpoint(path, p0, None, step=0)
+        stats = {}
+        merged = load_checkpoint(path, p1, stats=stats)
+    assert stats['merged'] > 0
+    # every conv/linear leaf of the forward encoders came from the file...
+    for a, b in zip(jax.tree.leaves(p0['fwd_enc1']['cnn']),
+                    jax.tree.leaves(merged['fwd_enc1']['cnn'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...while the power-allocation leaves stay at their identity init
+    np.testing.assert_allclose(np.asarray(merged['fwd_enc1']['pw']), 1.0)
+    np.testing.assert_allclose(np.asarray(merged['fwd_enc1']['ps']), 1.0)

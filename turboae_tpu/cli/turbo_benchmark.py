@@ -67,6 +67,10 @@ def run_benchmark(args):
     trellis = turbo_lte_trellis() if args.code == 'lte' else turbo757_trellis()
     inter = RandInterlv(args.block_len, 0)
     rng = np.random.RandomState(args.seed)
+    # the non-AWGN path goes through classical.channels.corrupt_signal, which
+    # draws from the GLOBAL numpy RNG — seed it too so non-AWGN baseline runs
+    # are reproducible from -seed like the AWGN path
+    np.random.seed(args.seed)
 
     jax_decoder = None
     if args.engine == 'jax':

@@ -169,6 +169,14 @@ class Config:
     fb_channel_low: float = 10.0
     fb_channel_high: float = 10.0
     channel_mode: str = 'block_norm'   # block_norm | block_norm_ste (FTAE power constraint)
+    ftae_power_alloc: str = 'none'     # none | pos | pos_phase: learned per-position
+                                       # transmit-power weights on the three FORWARD
+                                       # phase encoders (DeepCode's core mechanism —
+                                       # the reference FTAE has only uniform whitening,
+                                       # ftae_ae.py:17-36). 'pos' normalizes each
+                                       # phase to unit power; 'pos_phase' normalizes
+                                       # jointly so power can also shift between
+                                       # phases. NOT in the reference.
 
     # ---- TPU-native additions (not in reference) ----
     dtype: str = 'float32'            # compute dtype for conv stacks: float32 | bfloat16

@@ -52,12 +52,44 @@ def _fb_power_constraint(cfg, x):
     return xn
 
 
-def _phase_enc_init(key, cfg, input_size: int):
-    """CNN_encoder (ftae_ae.py:40-59): conv stack + Linear -> 1."""
+def _phase_enc_init(key, cfg, input_size: int, with_pw: bool = False,
+                    with_ps: bool = False):
+    """CNN_encoder (ftae_ae.py:40-59): conv stack + Linear -> 1.
+
+    with_pw adds a learned per-position transmit-power weight vector, with_ps
+    a learned per-phase power scalar (cfg.ftae_power_alloc; forward phases
+    only) — DeepCode's power-allocation mechanism. Both init at ones so a
+    warm start from a uniform-power checkpoint begins bit-identical to it."""
     k1, k2 = jax.random.split(key)
-    return {'cnn': cv.stack_init(k1, cfg.enc_num_layer, input_size,
-                                 cfg.enc_num_unit, cfg.enc_kernel_size),
-            'lin': cv.linear_init(k2, cfg.enc_num_unit, 1)}
+    p = {'cnn': cv.stack_init(k1, cfg.enc_num_layer, input_size,
+                              cfg.enc_num_unit, cfg.enc_kernel_size),
+         'lin': cv.linear_init(k2, cfg.enc_num_unit, 1)}
+    if with_pw:
+        p['pw'] = jnp.ones((cfg.block_len, 1), jnp.float32)
+    if with_ps:
+        p['ps'] = jnp.ones((), jnp.float32)
+    return p
+
+
+def _power_alloc_scales(params, cfg):
+    """(per-position weights, per-phase scalars) for the 3 forward phases.
+
+    'pos': each phase keeps the reference's unit power but shifts it across
+    block positions. 'pos_phase': additionally a learned scalar per phase,
+    normalized to unit mean-square ACROSS phases, lets the total budget move
+    between the three transmissions (DeepCode allocates both ways). The
+    per-position normalization itself happens in forward_ftae against the
+    batch's measured per-position code power, so realized power is conserved
+    exactly (weights cannot correlate with the whitened output's nonuniform
+    per-position power to sneak in extra transmit energy)."""
+    if cfg.ftae_power_alloc == 'none':
+        return (None, None, None), (None, None, None)
+    ws = tuple(params[f'fwd_enc{i}']['pw'] for i in (1, 2, 3))
+    if cfg.ftae_power_alloc == 'pos_phase':
+        s = jnp.stack([params[f'fwd_enc{i}']['ps'] for i in (1, 2, 3)])
+        s = s * lax.rsqrt(jnp.mean(s * s))
+        return ws, (s[0], s[1], s[2])
+    return ws, (None, None, None)
 
 
 def _phase_enc_apply(p, cfg, inputs, interleave_perm=None):
@@ -232,9 +264,11 @@ def init_ftae(key, cfg) -> Params:
         dec = _shared_dec_init(k6, cfg)
     else:
         dec = _ftae_dec_init(k6, cfg)
-    return {'fwd_enc1': _phase_enc_init(k1, cfg, 1),
-            'fwd_enc2': _phase_enc_init(k2, cfg, 3),
-            'fwd_enc3': _phase_enc_init(k3, cfg, 5),
+    pw = cfg.ftae_power_alloc != 'none'
+    ps = cfg.ftae_power_alloc == 'pos_phase'
+    return {'fwd_enc1': _phase_enc_init(k1, cfg, 1, with_pw=pw, with_ps=ps),
+            'fwd_enc2': _phase_enc_init(k2, cfg, 3, with_pw=pw, with_ps=ps),
+            'fwd_enc3': _phase_enc_init(k3, cfg, 5, with_pw=pw, with_ps=ps),
             'fb_enc1': _phase_enc_init(k4, cfg, 1),
             'fb_enc2': _phase_enc_init(k5, cfg, 2),
             'dec': dec}
@@ -244,16 +278,37 @@ def forward_ftae(params, cfg, bits, fwd_noise, fb_noise, perms):
     """(bit_estimates, codes). fwd_noise/fb_noise: (B, L, 3)."""
     z1, z2, z3 = (fwd_noise[:, :, i:i + 1] for i in range(3))
     zf1, zf2 = (fb_noise[:, :, i:i + 1] for i in range(2))
+    (w1, w2, w3), (s1, s2, s3) = _power_alloc_scales(params, cfg)
 
-    x1 = _phase_enc_apply(params['fwd_enc1'], cfg, bits)
+    def _alloc(x, w, s):
+        """Learned per-position power weighting of the whitened phase output.
+
+        The weight profile is renormalized against the batch's MEASURED
+        per-position code power (p̄_l = E_b[x²]); realized phase power then
+        equals the uniform-whitening case exactly for any w — the learned
+        profile moves power between positions without changing the total.
+        (L,1) broadcasts over (B,L,1). s (pos_phase) shifts power between
+        phases, unit mean-square across the three transmissions."""
+        if w is None:
+            return x
+        xf = x.astype(jnp.float32)
+        pbar = jnp.mean(xf * xf, axis=0)                       # (L,1)
+        w2_ = w * w
+        factor = lax.rsqrt(jnp.mean(w2_ * pbar) / jnp.mean(pbar))
+        out = x * (w * factor).astype(x.dtype)
+        if s is not None:
+            out = out * s.astype(x.dtype)
+        return out
+
+    x1 = _alloc(_phase_enc_apply(params['fwd_enc1'], cfg, bits), w1, s1)
     y1 = x1 + z1
     r1 = _phase_enc_apply(params['fb_enc1'], cfg, y1) + zf1
 
     if cfg.ignore_feedback:
         r1 = r1 * 0.0
     x1_in = x1 * 0.0 if cfg.ignore_prev_code else x1
-    x2 = _phase_enc_apply(params['fwd_enc2'], cfg,
-                          jnp.concatenate([bits, r1, x1_in], axis=2))
+    x2 = _alloc(_phase_enc_apply(params['fwd_enc2'], cfg,
+                jnp.concatenate([bits, r1, x1_in], axis=2)), w2, s2)
     y2 = x2 + z2
     r2 = _phase_enc_apply(params['fb_enc2'], cfg,
                           jnp.concatenate([y1, y2], axis=2)) + zf2
@@ -263,7 +318,8 @@ def forward_ftae(params, cfg, bits, fwd_noise, fb_noise, perms):
     x2_in = x2 * 0.0 if cfg.ignore_prev_code else x2
     enc3_in = jnp.concatenate([bits, r1, x1_in, r2, x2_in], axis=2)
     perm = perms['p1'] if cfg.is_interleave else None
-    x3 = _phase_enc_apply(params['fwd_enc3'], cfg, enc3_in, interleave_perm=perm)
+    x3 = _alloc(_phase_enc_apply(params['fwd_enc3'], cfg, enc3_in,
+                                 interleave_perm=perm), w3, s3)
     y3 = x3 + z3
 
     # the reference overwrites x_1/x_2 THEMSELVES when ignore_prev_code is

@@ -171,9 +171,12 @@ class FTAETrainer:
 
         if not hasattr(self, '_sweep_chunks'):
             self._sweep_chunks = {}
-        if chunk not in self._sweep_chunks:
-            self._sweep_chunks[chunk] = jax.jit(chunk_fn)
-        return self._sweep_chunks[chunk]
+        # keyed by (chunk, cfg): chunk_fn closes over self.cfg at build time
+        # and callers mutate trainer.cfg between sweeps (see Trainer._sweep_chunk)
+        cache_key = (chunk, cfg)
+        if cache_key not in self._sweep_chunks:
+            self._sweep_chunks[cache_key] = jax.jit(chunk_fn)
+        return self._sweep_chunks[cache_key]
 
     def sweep(self, snrs, num_block: int = None, chunk: int = 50,
               verbose: bool = True):

@@ -38,6 +38,19 @@ def _sample_bits(key, shape):
     return jax.random.bernoulli(key, 0.5, shape).astype(jnp.float32)
 
 
+def _check_legacy_noise_channel(channel: str) -> None:
+    """legacy_noise scales ONE unit realization by each point's sigma. That
+    only reproduces fresh-noise statistics when the noise is purely
+    multiplicative in sigma (awgn, t-dist). Mask channels (bec/bsc/ge) would
+    get nonsense fractional masks, and mixed fixed-power channels
+    (radar, ge_awgn) would have their fixed components (e.g. radar bursts at
+    radar_power) wrongly scaled with sigma."""
+    if channel not in ('awgn', 't-dist'):
+        raise ValueError(
+            f'legacy_noise is only defined for awgn/t-dist channels '
+            f'(noise purely multiplicative in sigma), got {channel!r}')
+
+
 class Trainer:
     def __init__(self, cfg, mesh: Optional[Mesh] = None):
         self.cfg = cfg
@@ -401,9 +414,13 @@ class Trainer:
                 body, init, None, length=chunk)
             return key, bit_e, blk_e, pos_e
 
-        if chunk not in self._sweep_chunks:
-            self._sweep_chunks[chunk] = jax.jit(chunk_fn)
-        return self._sweep_chunks[chunk]
+        # keyed by (chunk, cfg): chunk_fn closes over self.cfg at build time,
+        # and callers (train scripts) mutate trainer.cfg between sweeps —
+        # a chunk-only key would silently reuse stale channel/shape semantics
+        cache_key = (chunk, cfg)
+        if cache_key not in self._sweep_chunks:
+            self._sweep_chunks[cache_key] = jax.jit(chunk_fn)
+        return self._sweep_chunks[cache_key]
 
     def sweep(self, snrs, num_block: int = None, chunk: int = 50,
               verbose: bool = True):
@@ -421,7 +438,8 @@ class Trainer:
         num_block = num_block or cfg.num_block
         num_batches = max(1, num_block // cfg.batch_size)
         fixed_unit = None
-        if cfg.legacy_noise and cfg.channel not in ('bec', 'bsc', 'ge'):
+        if cfg.legacy_noise:
+            _check_legacy_noise_channel(cfg.channel)
             from ..channels.noise import sample_noise, spec_from_cfg
             self.key, kn = jax.random.split(self.key)
             fixed_unit = sample_noise(
@@ -541,6 +559,7 @@ class Trainer:
             print('SNRS', snrs)
         fixed_unit = None
         if cfg.legacy_noise:
+            _check_legacy_noise_channel(cfg.channel)
             from ..channels.noise import sample_noise, spec_from_cfg
             self.key, kn = jax.random.split(self.key)
             fixed_unit = sample_noise(
