@@ -206,6 +206,10 @@ def gen_radar():
                         ['radar', 'radar_saturate', 'radar_erasure'])
 
 
+def gen_fading():
+    return _gen_nonawgn('fading', 'artifacts/eval_fading.json', ['fading'])
+
+
 def gen_deepturbo():
     """DeepTurbo (neural decoder over the fixed classical 757 encoder) vs the
     classical hazzys 6-iteration decoder, both measured in-repo."""
@@ -259,6 +263,42 @@ def gen_ftae():
     return '\n'.join(lines)
 
 
+def gen_ftae_pa():
+    """FTAE power-allocation ablation: the round-4 saturated uniform-power
+    checkpoint vs the same schedule with learned per-position + per-phase
+    power weights (DeepCode's mechanism), vs the published DeepCode table."""
+    from turboae_tpu.results.reference_curves import DEEPCODE_K50
+    base = _load('artifacts/eval_ftae.json')
+    pa1 = _load('artifacts/eval_ftae_pa_leg1.json')
+    pa2 = _load('artifacts/eval_ftae_pa.json')
+    assert base['snr'] == pa1['snr'] == pa2['snr']
+    lines = [
+        'Source: `artifacts/eval_ftae.json` (uniform power, the saturated '
+        f'round-4 checkpoint, {base["n_blocks"] // 1000}k blocks/point) vs '
+        '`artifacts/eval_ftae_pa_leg1.json` / `artifacts/eval_ftae_pa.json` '
+        '(same schedule warm-started from it + learned power allocation '
+        f'`pos_phase`, +500 / +1200 epochs, {pa1["n_blocks"] // 1000}k '
+        'blocks/point) vs the published DeepCode K=50 table '
+        '(`/root/reference/results/fbresults.py:41-44`). Bold = below the '
+        'uniform-power baseline.',
+        '',
+        '| SNR | uniform BER (errs) | +alloc 500ep (errs) '
+        '| +alloc 1200ep (errs) | DeepCode (published) |',
+        '|---|---|---|---|---|',
+    ]
+    for i, snr in enumerate(base['snr']):
+        ref = (DEEPCODE_K50['ber'][DEEPCODE_K50['snr'].index(snr)]
+               if snr in DEEPCODE_K50['snr'] else None)
+        lines.append(
+            f"| {snr:g} | {_fmt(base['ber'][i])} ({base['bit_errors'][i]}) "
+            f"| {_bold_lower(pa1['ber'][i], base['ber'][i])} "
+            f"({pa1['bit_errors'][i]}) "
+            f"| {_bold_lower(pa2['ber'][i], base['ber'][i])} "
+            f"({pa2['bit_errors'][i]}) "
+            f"| {_fmt(ref) if ref is not None else '—'} |")
+    return '\n'.join(lines)
+
+
 def gen_binary():
     """TurboAE-binary (STE, exactly +-1 codes) vs the published CONTINUOUS
     arrays — the paper's binary-costs-little claim."""
@@ -293,8 +333,10 @@ GENERATORS = {
     'binary': gen_binary,
     'atn': gen_atn,
     'radar': gen_radar,
+    'fading': gen_fading,
     'deepturbo': gen_deepturbo,
     'ftae': gen_ftae,
+    'ftae_pa': gen_ftae_pa,
 }
 
 
