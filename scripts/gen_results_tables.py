@@ -299,6 +299,48 @@ def gen_ftae_pa():
     return '\n'.join(lines)
 
 
+def gen_k1000():
+    """Long-block K=1000 TurboAE (the regime the reference concedes it could
+    not train, docs/howtos.md:66) vs classical Turbo-757 K=1000 measured
+    in-repo AND the published fbresults table."""
+    from turboae_tpu.results.reference_curves import TURBO757_K1000
+    ours = _load('artifacts/eval_k1000.json')
+    cls = _load('artifacts/classical_awgn_k1000.json')
+    pub = TURBO757_K1000
+    lines = [
+        f'Source: `artifacts/eval_k1000.json` (checkpoint `{ours["ckpt"]}`, '
+        'block_len 1000, exact counts) vs '
+        '`artifacts/classical_awgn_k1000.json` (Turbo-757 K=1000, 6 '
+        'iterations, hazzys — native engine to 2.0 dB at 2000-error/200k-'
+        'block targets, jax_mc TPU engine 2.5-4.0 dB at 5e6 blocks/point) '
+        'and the published table '
+        '(`/root/reference/results/fbresults.py:27-37`). Bold = learned '
+        'code at or below the in-repo classical value.',
+        '',
+        '| SNR | blocks | TurboAE K=1000 BER (errs) | classical BER '
+        '(in-repo) | classical BER (published) | TurboAE BLER (errs) '
+        '| classical BLER (in-repo) |',
+        '|---|---|---|---|---|---|---|',
+    ]
+    for i, snr in enumerate(ours['snr']):
+        j = cls['snr'].index(snr)
+        k = pub['snr'].index(snr) if snr in pub['snr'] else None
+        nb = ours['n_blocks'][i]
+        blocks = f'{nb // 1000}k' if nb < 1_000_000 else f'{nb // 1000000}M'
+
+        def cell(v, ref):
+            return f'**{_fmt(v)}**' if v <= ref else _fmt(v)
+
+        lines.append(
+            f"| {snr:g} | {blocks} "
+            f"| {cell(ours['ber'][i], cls['ber'][j])} "
+            f"({ours['bit_errors'][i]}) | {_fmt(cls['ber'][j])} "
+            f"| {_fmt(pub['ber'][k]) if k is not None else '—'} "
+            f"| {cell(ours['bler'][i], cls['bler'][j])} "
+            f"({ours['blk_errors'][i]}) | {_fmt(cls['bler'][j])} |")
+    return '\n'.join(lines)
+
+
 def gen_binary():
     """TurboAE-binary (STE, exactly +-1 codes) vs the published CONTINUOUS
     arrays — the paper's binary-costs-little claim."""
@@ -337,6 +379,7 @@ GENERATORS = {
     'deepturbo': gen_deepturbo,
     'ftae': gen_ftae,
     'ftae_pa': gen_ftae_pa,
+    'k1000': gen_k1000,
 }
 
 

@@ -11,11 +11,13 @@ TURBO757_K50 = {
     'ber': [9.88e-2, 3.90e-2, 8.18e-3, 8.04e-4, 2.56e-5, 2.64e-6, 4.8e-7],
 }
 
-# Classical Turbo-757, K=1000, 6 iterations (results/fbresults.py:26-37)
+# Classical Turbo-757, K=1000, 6 iterations (results/fbresults.py:27-37,
+# turbo757_bl1000_i6_ber — digit-exact; an earlier transcription of this
+# table was wrong from -1.0 dB on and is fixed here)
 TURBO757_K1000 = {
     'snr': [-1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0],
-    'ber': [2.84e-2, 9.6e-3, 1.57e-3, 1.69e-4, 1.9e-5, 2.4e-6, 6.4e-7,
-            4.5e-7, 3.2e-7, 1.6e-7, 4.3e-8, 0.0],
+    'ber': [2.843181e-2, 2.09208e-3, 1.0128e-4, 2.224e-5, 7.15e-6, 2.52e-6,
+            1.03e-6, 3.6e-7, 1.8e-7, 4.3e-8, 1.4e-8, 0.0],
 }
 
 # TurboAE-CNN (enc2/dec5 maxBCE run), K=100, AWGN (tmp/114255_log.txt)
