@@ -269,28 +269,34 @@ def gen_ftae_pa():
     power weights (DeepCode's mechanism), vs the published DeepCode table."""
     from turboae_tpu.results.reference_curves import DEEPCODE_K50
     base = _load('artifacts/eval_ftae.json')
+    pos = _load('artifacts/eval_ftae_pos.json')
     pa1 = _load('artifacts/eval_ftae_pa_leg1.json')
     pa2 = _load('artifacts/eval_ftae_pa.json')
-    assert base['snr'] == pa1['snr'] == pa2['snr']
+    assert base['snr'] == pos['snr'] == pa1['snr'] == pa2['snr']
     lines = [
         'Source: `artifacts/eval_ftae.json` (uniform power, the saturated '
         f'round-4 checkpoint, {base["n_blocks"] // 1000}k blocks/point) vs '
-        '`artifacts/eval_ftae_pa_leg1.json` / `artifacts/eval_ftae_pa.json` '
-        '(same schedule warm-started from it + learned power allocation '
-        f'`pos_phase`, +500 / +1200 epochs, {pa1["n_blocks"] // 1000}k '
-        'blocks/point) vs the published DeepCode K=50 table '
+        '`artifacts/eval_ftae_pos.json` (per-position weights ONLY, +500 '
+        'epochs) and `artifacts/eval_ftae_pa_leg1.json` / '
+        '`artifacts/eval_ftae_pa.json` (per-position + per-PHASE '
+        '`pos_phase`, +500 / +1200 epochs) — all warm-started from the same '
+        f'checkpoint on the same schedule, {pa1["n_blocks"] // 1000}k '
+        'blocks/point — vs the published DeepCode K=50 table '
         '(`/root/reference/results/fbresults.py:41-44`). Bold = below the '
         'uniform-power baseline.',
         '',
-        '| SNR | uniform BER (errs) | +alloc 500ep (errs) '
-        '| +alloc 1200ep (errs) | DeepCode (published) |',
-        '|---|---|---|---|---|',
+        '| SNR | uniform BER (errs) | +pos only 500ep (errs) '
+        '| +pos_phase 500ep (errs) | +pos_phase 1200ep (errs) '
+        '| DeepCode (published) |',
+        '|---|---|---|---|---|---|',
     ]
     for i, snr in enumerate(base['snr']):
         ref = (DEEPCODE_K50['ber'][DEEPCODE_K50['snr'].index(snr)]
                if snr in DEEPCODE_K50['snr'] else None)
         lines.append(
             f"| {snr:g} | {_fmt(base['ber'][i])} ({base['bit_errors'][i]}) "
+            f"| {_bold_lower(pos['ber'][i], base['ber'][i])} "
+            f"({pos['bit_errors'][i]}) "
             f"| {_bold_lower(pa1['ber'][i], base['ber'][i])} "
             f"({pa1['bit_errors'][i]}) "
             f"| {_bold_lower(pa2['ber'][i], base['ber'][i])} "
