@@ -47,6 +47,21 @@ def main():
                  fb_channel_high=args.fb_channel_high,
                  ftae_power_alloc=args.ftae_power_alloc)
     tr = FTAETrainer(cfg)
+    # a power-alloc checkpoint evaluated without the matching flag would
+    # silently drop the learned pw/ps leaves (the tolerant merge keeps the
+    # template) and report uniform-power numbers — make that an error
+    from flax import serialization
+    with open(args.ckpt, 'rb') as f:
+        saved = serialization.msgpack_restore(f.read())
+    saved_params = saved.get('params', saved)
+    ck_has_pw = 'pw' in saved_params.get('fwd_enc1', {})
+    cfg_has_pw = args.ftae_power_alloc != 'none'
+    if ck_has_pw != cfg_has_pw:
+        raise SystemExit(
+            f'{args.ckpt}: checkpoint {"HAS" if ck_has_pw else "has NO"} '
+            f'power-allocation weights but --ftae_power_alloc='
+            f'{args.ftae_power_alloc} — pass the mode the checkpoint was '
+            'trained with')
     tr.params = load_checkpoint(args.ckpt, tr.params)
     print(f'loaded {args.ckpt}', flush=True)
 
